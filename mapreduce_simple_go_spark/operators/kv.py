@@ -1,0 +1,178 @@
+"""KV get/put/append replay — the reference's declared stateful semantics.
+
+The reference's lab-3/4 skeletons declare a linearizable string->string map
+whose authoritative semantics are the porcupine model
+(/root/reference/src/models/kv.go:40-54):
+
+- get(k)     -> current value, "" if absent
+- put(k,v)   -> overwrite
+- append(k,v)-> state + v (string concatenation, no delimiter)
+
+The server bodies are stubs (kvraft/server.go:41-47), so the *semantics* are
+what we reproduce: given a totally-ordered op log, fold it per key. Batch
+Spark expresses the fold with grouped ordered aggregation; the linearization
+order the reference gets from Raft is here an explicit ``seq`` column.
+
+Fixture: TESTDATA has no kv_ops table, so we derive a deterministic op log
+from ``events`` (seq = event_id, key = user_id % 50, op from event_type,
+value from the event payload) — identically in Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_events
+
+# event_type -> op, chosen so the mix resembles the reference's GenericTest
+# workload (~half appends, some puts, some gets — kvraft/test_test.go:276-295).
+_OP_CASE_SPARK = (
+    "CASE event_type WHEN 'click' THEN 'append' WHEN 'error' THEN 'append' "
+    "WHEN 'purchase' THEN 'put' WHEN 'signup' THEN 'put' ELSE 'get' END"
+)
+_OP_CASE_DUCK = _OP_CASE_SPARK  # identical ANSI CASE syntax
+
+KV_OPS_DUCK = f"""
+  SELECT event_id AS seq,
+         CAST(user_id % 50 AS VARCHAR) AS key,
+         {_OP_CASE_DUCK} AS op,
+         'v' || CAST(event_id % 1000 AS VARCHAR) || ';' AS value
+  FROM events
+"""
+
+
+def kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the deterministic op log from the events table."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        (F.col("user_id") % 50).cast("string").alias("key"),
+        F.expr(_OP_CASE_SPARK).alias("op"),
+        F.concat(F.lit("v"), (F.col("event_id") % 1000).cast("string"), F.lit(";")).alias("value"),
+    )
+
+
+def kv_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final value per key after replaying the whole log in seq order.
+
+    Plan: one groupBy(key) — collect the (seq, op, value) history as an
+    array, then fold it JVM-side with higher-order functions: find the last
+    put, concatenate everything from it on. No Python in the loop, single
+    shuffle, partial aggregation on the collect is impossible (order matters)
+    but the per-key state is bounded by the key's history — the same bound
+    the reference's in-memory map has.
+    """
+    writes = kv_ops(spark, sf_dir).filter(F.col("op") != "get")
+    # Two-pass fold: (1) cheap aggregate for each key's last put position,
+    # (2) join back (tiny side -> AQE broadcasts it) and drop every write
+    # the last put overwrote BEFORE collecting, so the per-key array holds
+    # only the live epoch — never the full history. (A single-pass variant
+    # that collected the whole history and filtered in a lambda was O(h^2):
+    # CollapseProject inlines the array_max into the filter lambda.)
+    last_put = writes.groupBy("key").agg(
+        F.coalesce(
+            F.max(F.when(F.col("op") == "put", F.col("seq"))), F.lit(-1)
+        ).alias("last_put")
+    )
+    return (
+        writes.join(last_put, "key")
+        .filter(F.col("seq") >= F.col("last_put"))
+        .groupBy("key")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seq", "value"))),
+                    lambda x: x.value,
+                ),
+                "",
+            ).alias("state")
+        )
+    )
+
+
+KV_FINAL_STATE_SQL = f"""
+WITH ops AS ({KV_OPS_DUCK}),
+writes AS (SELECT * FROM ops WHERE op <> 'get'),
+lp AS (
+  SELECT key, MAX(seq) FILTER (WHERE op = 'put') AS last_put
+  FROM writes GROUP BY key
+)
+SELECT w.key AS key, string_agg(w.value, '' ORDER BY w.seq) AS state
+FROM writes w JOIN lp ON w.key = lp.key
+WHERE w.seq >= COALESCE(lp.last_put, -1)
+GROUP BY w.key
+"""
+
+
+def kv_get_visible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every get op, the value visible at its position in the log (K1).
+
+    Window fold: collect each key's preceding write history once per row
+    (rowsBetween unboundedPreceding, -1), then compute the visible value with
+    array functions. This is the reference's linearizable read replayed in
+    batch. The per-key history array is the scaling bound — for unbounded
+    logs the streaming stateful variant (streaming/) is the scale path.
+    """
+    ops = kv_ops(spark, sf_dir)
+    # Epoch trick: each put starts a new epoch for its key (epoch id = the
+    # put's seq; -1 before any put). The visible value at a get is the
+    # concatenation of write values in ITS epoch with smaller seq — so the
+    # window state never spans more than one epoch, instead of the whole key
+    # history (which made the naive collect-everything plan O(n·h) and
+    # unrunnable at sf0.1).
+    w_run = (
+        Window.partitionBy("key")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    epoch = F.coalesce(
+        F.max(F.when(F.col("op") == "put", F.col("seq"))).over(w_run), F.lit(-1)
+    )
+    w_epoch = (
+        Window.partitionBy("key", "epoch")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # collect_list skips nulls, so get rows contribute nothing; the ordered
+    # window feeds rows in seq order — sort structs anyway for a guaranteed
+    # deterministic result.
+    prior_writes = F.collect_list(
+        F.when(F.col("op") != "get", F.struct("seq", "value"))
+    ).over(w_epoch)
+    visible = F.array_join(
+        F.transform(F.sort_array(F.col("prior_writes")), lambda x: x.value), ""
+    )
+    return (
+        ops.withColumn("epoch", epoch)
+        .withColumn("prior_writes", prior_writes)
+        .filter(F.col("op") == "get")
+        .select("seq", "key", visible.alias("visible"))
+    )
+
+
+KV_GET_VISIBLE_SQL = f"""
+WITH ops AS ({KV_OPS_DUCK})
+SELECT g.seq AS seq, g.key AS key,
+  COALESCE((
+    SELECT string_agg(o.value, '' ORDER BY o.seq)
+    FROM ops o
+    WHERE o.key = g.key AND o.seq < g.seq AND o.op <> 'get'
+      AND o.seq >= COALESCE((SELECT MAX(p.seq) FROM ops p
+                             WHERE p.key = g.key AND p.op = 'put' AND p.seq < g.seq), -1)
+  ), '') AS visible
+FROM ops g WHERE g.op = 'get'
+"""
+
+
+QUERIES = {
+    "kv_final_state": kv_final_state,
+    "kv_get_visible": kv_get_visible,
+}
+
+ORACLES = {
+    "kv_final_state": KV_FINAL_STATE_SQL,
+    "kv_get_visible": KV_GET_VISIBLE_SQL,
+}

@@ -1,0 +1,260 @@
+"""Relational query suite over the TPC-H-ish fixture tables.
+
+The reference has no joins and no typed aggregation at all (SURVEY.md §2.4 —
+its only aggregation surface is whole-group UDAFs). This module is the
+DataFrame surface a user of the reference would gain by switching: joins of
+every flavor, partial-aggregated group-bys, window functions, date functions.
+
+Scale notes baked into each plan:
+- Dimension tables (region/nation/customer/supplier/part) are broadcast —
+  at 100 TB the fact tables shuffle on join keys only when both sides are
+  large (orders ⋈ lineitem), and AQE handles skew there.
+- All money arithmetic is DECIMAL(18,2): decimal sums are exact and
+  associative, so results are partition-order independent (and match the
+  DuckDB oracle bit-for-bit).
+- Every aggregate column is aliased identically in the Spark plan and the
+  oracle SQL — the driver hashes columns by sorted name.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions import money
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Single scan, partial+final aggregation, no shuffle besides the one
+    groupBy on a low-cardinality key. Filter + 7-column projection push
+    down to the parquet reader.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount"))
+    )
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + money(F.col("l_tax")))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top 10 open orders by revenue for one market segment.
+
+    customer is filtered then broadcast; orders ⋈ lineitem is the only
+    shuffle join. Deterministic top-k: tie-broken on o_orderkey.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue per nation where customer and supplier share it.
+
+    region→nation→{customer,supplier} are all broadcast; the two fact-side
+    joins shuffle on orderkey. The co-nation predicate is a join condition,
+    not a post-filter, so Catalyst applies it during the supplier join.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: order-priority counts for orders with any late line.
+
+    LEFT SEMI join — the declarative form of EXISTS; Spark never
+    materializes the probe side's payload columns.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    # "late" line: shipped after 1995-06-30
+    late = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-06-30").cast("timestamp")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1995-06-30')
+GROUP BY o_orderpriority
+"""
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: top-3 customers by account balance per nation.
+
+    row_number over (nation, balance desc, custkey) — the tie-break key makes
+    the result deterministic under any partitioning.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .join(broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").alias("acctbal"),
+            "rank",
+        )
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT n_name, c_custkey, c_name, c_acctbal AS acctbal, rank
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer
+)
+JOIN nation ON c_nationkey = n_nationkey
+WHERE rank <= 3
+"""
+
+
+def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function coverage: monthly order count + revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(money(F.col("o_totalprice"))).cast("double").alias("revenue"),
+        )
+    )
+
+
+REVENUE_BY_MONTH_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_supplier_volume": q5_supplier_volume,
+    "q4_order_priority": q4_order_priority,
+    "top_customers_per_nation": top_customers_per_nation,
+    "revenue_by_month": revenue_by_month,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_supplier_volume": Q5_SQL,
+    "q4_order_priority": Q4_SQL,
+    "top_customers_per_nation": TOP_CUSTOMERS_SQL,
+    "revenue_by_month": REVENUE_BY_MONTH_SQL,
+}

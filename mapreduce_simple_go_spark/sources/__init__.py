@@ -1,0 +1,38 @@
+"""Source connectors.
+
+The reference's only source is the whole-file text scan
+(/root/reference/src/mr/worker.go:71-81); :func:`whole_text_files` reproduces
+it. The parquet fixture loaders normalize physical-type quirks (nanosecond
+timestamps) so downstream operators always see proper TimestampType.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def whole_text_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(filename, contents) rows — the reference's map-task input contract.
+
+    Uses the wholeTextFiles RDD source (one record per file, file-level
+    parallelism = the reference's M = number of input files).
+    """
+    rdd = spark.sparkContext.wholeTextFiles(path_glob)
+    return spark.createDataFrame(rdd, schema="filename string, contents string")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` normalized to TimestampType.
+
+    The fixture writes TIMESTAMP(NANOS); with nanosAsLong the column arrives
+    as long nanoseconds — convert via integral microseconds (values are
+    microsecond-precision so the division is exact).
+    """
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return ev
