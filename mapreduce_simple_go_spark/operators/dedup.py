@@ -1,0 +1,347 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+The reference's map-side hash-set dedup (indexer app,
+/root/reference/src/mrapps/indexer.go:21-25) is the seed idea: dedup is a
+grouping problem. These operators scale it to corpus-level document
+deduplication, the shape a 100 TB text pipeline needs:
+
+- exact dedup        — hash-groupBy on content digest (one shuffle)
+- MinHash + LSH      — shingle -> minhash signature -> banded bucket join;
+                       candidate pairs only, never the full O(n^2) cross join
+- SimHash            — 48-bit signatures; block-LSH join (pigeonhole: d<=3
+                       errors across 4 blocks leaves one block exact), then
+                       hamming verify via bit_count(xor)
+- n-gram Jaccard     — exact set similarity via shared-shingle equi-join
+- embedding near-dup — cosine over the embeddings table (delegates to
+                       similarity.pair_cosine)
+
+Cross-engine determinism: every hash is the md5-derived 48-bit
+``functions.hash48`` which the DuckDB oracles recompute exactly, so even the
+sketch-based operators are differentially tested, not just row-counted.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import duckdb_hash48, hash48, tokens, word_shingles
+
+SHINGLE_N = 3
+NUM_PERM = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+SIMHASH_BITS = 48
+SIMHASH_BLOCKS = 4
+SIMHASH_MAX_DIST = 3
+
+# DuckDB expression fragments -------------------------------------------------
+
+_DUCK_TOKS = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> w <> '')"
+# 1-based inclusive slices: t[i:i+n-1] is n consecutive tokens.
+# range() end is exclusive: starts run 1..len-n+1 (1-based), end = len-(n-1)+1.
+_DUCK_SHINGLES = (
+    "[array_to_string(t[i:i+{nm1}], ' ') for i in range(1, len(t) - {nm1} + 1)]"
+).format(nm1=SHINGLE_N - 1)
+
+DUCK_DOC_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+  WHERE len(t) >= {SHINGLE_N}
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def doc_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the unit set for Jaccard/MinHash."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("shingle")
+    )
+
+
+# 1. Exact dedup ---------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content digest.
+
+    Group on md5(text) rather than text itself so the shuffle carries 16-byte
+    keys, not document bodies — at 100 TB that is the difference between
+    shuffling digests and shuffling the corpus.
+    """
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# 2. MinHash + LSH -------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, perm, minhash): NUM_PERM permutations via seed-salted hash48.
+
+    One shuffle: shingles x perms aggregated by (doc_id, perm). The perm
+    fan-out happens map-side (explode of a literal seed array), so the
+    shuffle input is |shingles| x NUM_PERM small rows with partial min
+    aggregation already applied.
+    """
+    sh = doc_shingles(docs)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(NUM_PERM - 1))).alias("perm")
+    salted = sh.select("doc_id", "shingle", perms)
+    h = hash48(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle")))
+    return (
+        salted.select("doc_id", "perm", h.alias("h"))
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Bands of 4 rows: docs sharing any band signature become candidates
+    (bucket equi-join on the band digest — no cross join anywhere), then the
+    estimated Jaccard (fraction of equal minhashes) filters at 0.5. Bucket
+    skew (a degenerate band shared by many docs) is the known hazard at
+    scale; AQE skew-join handles moderate cases and the band digest keeps
+    join keys small.
+    """
+    mh = minhash_signatures(_docs(spark, sf_dir)).cache()
+    rows_per_band = NUM_PERM // LSH_BANDS
+    bands = (
+        mh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("perm", "minhash"))),
+                        lambda x: x.minhash.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma, mb = mh.alias("ma"), mh.alias("mb")
+    est = (
+        cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
+        .join(mb, (F.col("doc_b") == F.col("mb.doc_id")) & (F.col("ma.perm") == F.col("mb.perm")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("ma.minhash") == F.col("mb.minhash"), 1).otherwise(0))
+                / F.lit(float(NUM_PERM))
+            ).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+    return est
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH sh AS ({DUCK_DOC_SHINGLES}),
+mh AS (
+  SELECT doc_id, perm, MIN({duckdb_hash48("CAST(perm AS VARCHAR) || ':' || shingle")}) AS minhash
+  FROM sh, (SELECT unnest(range({NUM_PERM})) AS perm)
+  GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // {NUM_PERM // LSH_BANDS} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS sig
+  FROM mh GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / {float(NUM_PERM)} AS est_jaccard
+FROM cand
+JOIN mh ma ON ma.doc_id = doc_a
+JOIN mh mb ON mb.doc_id = doc_b AND ma.perm = mb.perm
+GROUP BY doc_a, doc_b
+HAVING est_jaccard >= 0.5
+"""
+
+
+# 3. SimHash -------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """48-bit SimHash per document over distinct unigram token hashes.
+
+    bit_j(sig) = 1 iff sum over tokens of (2*bit_j(hash(token)) - 1) > 0.
+    Computed as one aggregation: explode tokens x bit positions map-side,
+    partial sums cross the shuffle.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    th = toks.select("doc_id", hash48(F.col("tok")).alias("h"))
+    bits = th.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        # shiftright/shiftleft builtins need literal shift amounts; the SQL
+        # forms accept column expressions
+        F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("contrib"),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance <= 3.
+
+    Block-LSH makes it scale: the 48-bit signature splits into 4 blocks of
+    12; any pair within distance 3 shares at least one exact block
+    (pigeonhole), so candidates come from 4 equi-joins on (block_id,
+    block_value) instead of an all-pairs scan. Verification is a single
+    bit_count(xor) per candidate.
+    """
+    sig = simhash_signatures(_docs(spark, sf_dir)).cache()
+    block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BLOCKS - 1))).alias("blk"),
+    ).withColumn(
+        "blk_val",
+        F.expr(f"shiftright(simhash, blk * {block_bits}) & {(1 << block_bits) - 1}"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.blk_val") == F.col("b.blk_val")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_DIST)
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+th AS (SELECT doc_id, {duckdb_hash48("tok")} AS h FROM toks),
+bits AS (
+  SELECT doc_id, bit, SUM(((h // (1::BIGINT << bit)) & 1) * 2 - 1) AS s
+  FROM th, (SELECT unnest(range({SIMHASH_BITS})) AS bit)
+  GROUP BY doc_id, bit
+),
+sig AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, blk,
+         (simhash // (1::BIGINT << (blk * {SIMHASH_BITS // SIMHASH_BLOCKS})))
+           & {(1 << (SIMHASH_BITS // SIMHASH_BLOCKS)) - 1} AS blk_val
+  FROM sig, (SELECT unnest(range({SIMHASH_BLOCKS})) AS blk)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.blk_val = b.blk_val
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DIST}
+"""
+
+
+# 4. Exact n-gram Jaccard ------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Exact word-shingle Jaccard similarity join (>= threshold).
+
+    Candidate generation by shared-shingle equi-join (a pair with Jaccard
+    >= t shares at least one shingle), group-count the intersection, then
+    compute |A ∪ B| from precomputed set sizes. The join explodes on stop
+    shingles at scale — this operator is the exact verifier; MinHash-LSH is
+    the pre-filter that keeps its input small.
+    """
+    sh = doc_shingles(_docs(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH sh AS ({DUCK_DOC_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       shared / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.8
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+}

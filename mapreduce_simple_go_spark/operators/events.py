@@ -1,0 +1,139 @@
+"""Event-stream analytics (batch form) over the events table.
+
+The reference has zero streaming surface (SURVEY.md §2.4); these queries
+define the *semantics* for the Structured Streaming implementations in
+``mapreduce_simple_go_spark.streaming`` — each streaming job must converge to
+the same result as its batch query here, which is what the streaming tests
+assert. Keeping a batch twin also makes the semantics DuckDB-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import money
+from ..sources import load_events
+
+SESSION_GAP_MIN = 30
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + exact value sum.
+
+    Batch twin of the streaming watermark+window aggregation. One shuffle on
+    (hour, event_type); partial aggregation map-side.
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(money(F.col("value"))).cast("double").alias("total_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (30-min inactivity closes a session).
+
+    Classic gaps-and-islands: a session boundary is an event whose gap from
+    the previous event exceeds the threshold; the running sum of boundaries
+    numbers the sessions. Two window passes over the same (user_id, ts)
+    partitioning — Spark reuses the sort, so it costs one shuffle.
+    Deterministic tie-break on event_id for equal timestamps.
+    """
+    ev = load_events(spark, sf_dir)
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_no", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(money(F.col("value"))).cast("double").alias("total_value"),
+        )
+    )
+
+
+SESSIONIZATION_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+def top_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per (user, event_type) — dedup-style ranking."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_type", "event_id", "value", "rank")
+    )
+
+
+TOP_EVENT_VALUES_SQL = """
+SELECT user_id, event_type, event_id, value, rank
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+)
+WHERE rank <= 3
+"""
+
+
+QUERIES = {
+    "events_hourly": events_hourly,
+    "sessionization": sessionization,
+    "top_event_values": top_event_values,
+}
+
+ORACLES = {
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "sessionization": SESSIONIZATION_SQL,
+    "top_event_values": TOP_EVENT_VALUES_SQL,
+}

@@ -1,0 +1,273 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Two paths, as a 100 TB pipeline needs both:
+
+- :func:`ann_cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set against the base table, one scan, per-query top-k via window.
+  The correctness baseline every approximate method is measured against.
+- :func:`ann_ivf_topk` — IVF-style cell-probe search: deterministic coarse
+  centroids partition the base table into cells; a query probes only its
+  ``nprobe`` nearest cells. The scan cost drops from |base| to
+  |base| * nprobe / n_cells per query — the scale path.
+
+All arithmetic is sequential left-to-right double accumulation
+(``F.aggregate`` in Spark, ``list_reduce`` in DuckDB) so the oracle matches
+bit-for-bit; cosines are rounded to 9 dp in both engines before ranking.
+
+Embeddings fixture: vec_id bigint, embedding array<float> (64 dims), label.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions import cosine_similarity_unrolled, norm_unrolled
+
+TOP_K = 5
+QUERY_MOD = 100   # vec_id % QUERY_MOD == 0 -> query vector
+CENTROID_MOD = 25  # vec_id % CENTROID_MOD == 0 -> coarse centroid
+NPROBE = 3
+
+# DuckDB: cosine with guaranteed sequential accumulation.
+_DUCK_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def duck_cosine(a: str, b: str) -> str:
+    return (
+        f"round({_DUCK_DOT.format(a=a, b=b)} / "
+        f"({_DUCK_NORM.format(a=a)} * {_DUCK_NORM.format(a=b)}), 9)"
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+EMBED_DIM = 64  # fixture embedding dimensionality; asserted in tests
+
+
+def _cos(a, b):
+    return F.round(cosine_similarity_unrolled(a, b, EMBED_DIM), 9)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (brute force).
+
+    Query set is broadcast — the base table is scanned exactly once and never
+    shuffled; only (query, candidate, cosine) tuples reach the window top-k,
+    and AQE coalesces the tiny post-filter partitions.
+    """
+    base = _emb(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        base.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {duck_cosine('q.q_emb', 'e.embedding')} AS cosine
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe approximate top-k.
+
+    Coarse quantizer: the deterministic centroid subset (vec_id %
+    CENTROID_MOD == 0). Build phase assigns every base vector to its nearest
+    centroid (broadcast argmin — no shuffle of the base table). Query phase
+    probes the NPROBE nearest cells only. Recall vs the exact baseline is
+    asserted in tests/test_similarity.py.
+    """
+    base = _emb(spark, sf_dir)
+    cents = base.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+
+    def nearest_cells(df: DataFrame, id_col: str, emb_col: str, n: int, out: str) -> DataFrame:
+        """n nearest centroids per row of df (broadcast join + window)."""
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cent_id"))
+        return (
+            df.join(broadcast(cents))
+            .select(
+                id_col,
+                "cent_id",
+                _cos(F.col(emb_col), F.col("c_emb")).alias("c_cos"),
+            )
+            .withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .select(id_col, F.col("cent_id").alias(out))
+        )
+
+    assign = nearest_cells(base, "vec_id", "embedding", 1, "cell")
+    base_cells = base.join(assign, "vec_id")
+
+    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = nearest_cells(
+        queries.withColumnRenamed("query_id", "qid"), "qid", "q_emb", NPROBE, "cell"
+    )
+    probe_q = probes.join(
+        queries, probes.qid == queries.query_id
+    ).select("query_id", "cell", "q_emb")
+
+    scored = (
+        base_cells.join(broadcast(probe_q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {duck_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cent_id ASC) AS crank
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE crank = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {duck_cosine('q.q_emb', 'c.c_emb')} DESC,
+                                       c.cent_id ASC) AS crank
+    FROM q CROSS JOIN cents c
+  ) WHERE crank <= {NPROBE}
+),
+scored AS (
+  SELECT DISTINCT p.query_id, e.vec_id,
+         {duck_cosine('q.q_emb', 'e.embedding')} AS cosine
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.45) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold).
+
+    Brute-force O(n^2/2) pair scan — correct but quadratic; at scale the IVF
+    cell assignment above (join within cells only) is the pre-filter. The
+    fixture's embeddings top out near 0.51 cosine, hence the 0.45 default.
+    """
+    e = _emb(spark, sf_dir)
+    # Hoist norms: computed once per vector (n rows), not per pair (n^2/2).
+    # The dot product itself uses the compact higher-order aggregate — a
+    # fully unrolled/flattened expression was tried and is worse here (the
+    # generated code for a 128-ref expression over a 132-column join row
+    # explodes; see git history).
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm_unrolled(F.col("embedding"), EMBED_DIM).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm_unrolled(F.col("embedding"), EMBED_DIM).alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 9)
+    # rand(0)*0 adds exactly 0.0 but marks the predicate nondeterministic,
+    # which stops Catalyst pushing the cosine into the nested-loop join
+    # condition (where it would evaluate once more, per candidate pair).
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter((F.col("cosine") + F.rand(0) * 0) >= threshold)
+    )
+
+
+EMB_NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {duck_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {duck_cosine('a.embedding', 'b.embedding')} >= 0.45
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "embedding_near_dup": embedding_near_dup,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ANN_TOPK_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
+    "embedding_near_dup": EMB_NEAR_DUP_SQL,
+}

@@ -1,0 +1,230 @@
+"""Text analysis operators for training-data curation.
+
+Generalizes the reference's tokenizer apps (wc.go/indexer.go split-on-
+non-letter contract) into per-document corpus statistics:
+
+- :func:`token_stats`      — whitespace + BPE-ish regex token counting
+- :func:`text_quality`     — length / punctuation / stopword quality signals
+- :func:`lang_id`          — marker-stopword n-gram heuristic language ID
+- :func:`doc_fingerprint`  — content digest + min-shingle-hash fingerprint
+
+Everything is built-in expressions (regexp_count, higher-order array
+functions) — no Python in the data path; per-document work parallelizes
+embarrassingly and the only shuffles are final aggregations, if any.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import duckdb_hash48, hash48, tokens, word_shingles
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+BPE_REGEX = r"[\p{L}]+|[0-9]+|[^\s\p{L}0-9]"
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+# language marker stopwords for the n-gram-free heuristic; ties and no-hit
+# documents fall back to 'en' (ordering = list order below).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "que", "los"],
+    "fr": ["le", "les", "des", "est"],
+    "de": ["der", "die", "und", "ist"],
+    "zh": ["de", "le", "shi", "bu"],
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens, BPE-ish pieces, letters."""
+    d = _docs(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_REGEX)).alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_word_tokens"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", r"[^\p{L}]", "")).alias("n_letters"),
+    )
+
+
+TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+       len(list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'), w -> w <> '')) AS n_word_tokens,
+       length(text) AS n_chars,
+       length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS n_letters
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals + composite score per document.
+
+    All ratios are double divisions of integer counts computed identically
+    in both engines, so the score is bit-reproducible.
+    """
+    d = token_stats(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
+    )
+    toks = tokens(F.col("text"))
+    alpha_ratio = F.col("n_letters") / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    stop_ratio = F.col("n_stop") / F.greatest(F.col("n_word_tokens"), F.lit(1)).cast("double")
+    avg_wlen = F.col("n_letters") / F.greatest(F.col("n_word_tokens"), F.lit(1)).cast("double")
+    return (
+        d.withColumn("n_stop", F.size(F.filter(toks, lambda w: F.lower(w).isin(STOPWORDS))))
+        .select(
+            "doc_id",
+            F.round(alpha_ratio, 9).alias("alpha_ratio"),
+            F.round(stop_ratio, 9).alias("stopword_ratio"),
+            F.round(avg_wlen, 9).alias("avg_word_len"),
+            F.round(
+                F.lit(0.5) * alpha_ratio
+                + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+                + F.lit(0.2) * F.least(F.col("n_word_tokens") / 100.0, F.lit(1.0)),
+                9,
+            ).alias("quality_score"),
+        )
+    )
+
+
+_DUCK_QUALITY_BASE = rf"""
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) AS n_letters,
+         list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'), w -> w <> '') AS toks
+  FROM documents
+"""
+
+TEXT_QUALITY_SQL = f"""
+WITH base AS ({_DUCK_QUALITY_BASE}),
+m AS (
+  SELECT doc_id, n_chars, n_letters,
+         len(toks) AS n_word_tokens,
+         len(list_filter(toks, w -> list_contains({STOPWORDS!r}, lower(w)))) AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       round(n_letters / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS alpha_ratio,
+       round(n_stop / CAST(greatest(n_word_tokens, 1) AS DOUBLE), 9) AS stopword_ratio,
+       round(n_letters / CAST(greatest(n_word_tokens, 1) AS DOUBLE), 9) AS avg_word_len,
+       round(0.5 * (n_letters / CAST(greatest(n_chars, 1) AS DOUBLE))
+           + 0.3 * least((n_stop / CAST(greatest(n_word_tokens, 1) AS DOUBLE)) * 4, 1.0)
+           + 0.2 * least(n_word_tokens / 100.0, 1.0), 9) AS quality_score
+FROM m
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language identification.
+
+    Scores each language by marker-token hits over the document's tokens;
+    argmax with first-listed-language tie-break. (The fixture's ``lang``
+    column does not correlate with its synthetic vocabulary, so accuracy is
+    not the point — the operator shape is: per-doc scoring against broadcast
+    profiles, a one-pass classify of the whole corpus.)
+    """
+    d = _docs(spark, sf_dir)
+    toks = F.transform(tokens(F.col("text")), lambda w: F.lower(w))
+    scored = d.select("doc_id", F.col("lang").alias("labeled_lang"), toks.alias("toks"))
+    score_cols = [
+        F.size(F.filter(F.col("toks"), lambda w: w.isin(LANG_MARKERS[lg]))).alias(f"s_{lg}")
+        for lg in LANG_MARKERS
+    ]
+    scored = scored.select("doc_id", "labeled_lang", *score_cols)
+    # argmax with deterministic preference order = LANG_MARKERS insertion order
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_MARKERS])
+    pred = F.coalesce(
+        *[F.when(F.col(f"s_{lg}") == best, F.lit(lg)) for lg in LANG_MARKERS]
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("labeled_lang")).alias("agree"),
+    )
+
+
+_duck_lang_scores = ",\n".join(
+    "len(list_filter(toks, w -> list_contains({m!r}, w))) AS s_{lg}".format(
+        m=LANG_MARKERS[lg], lg=lg
+    )
+    for lg in LANG_MARKERS
+)
+_duck_best = "greatest(" + ", ".join(f"s_{lg}" for lg in LANG_MARKERS) + ")"
+_duck_pred = "COALESCE(" + ", ".join(
+    f"CASE WHEN s_{lg} = {_duck_best} THEN '{lg}' END" for lg in LANG_MARKERS
+) + ")"
+
+LANG_ID_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang AS labeled_lang,
+         list_transform(list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), w -> w <> ''),
+                        w -> lower(w)) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, labeled_lang, {_duck_lang_scores}
+  FROM base
+)
+SELECT doc_id, labeled_lang, {_duck_pred} AS pred_lang,
+       ({_duck_pred} = labeled_lang) AS agree
+FROM scored
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digest + shingle fingerprint per document.
+
+    ``fingerprint`` = min hash48 over 3-word shingles (a 1-permutation
+    MinHash — robust to word-order-preserving edits far from the minimum),
+    alongside the exact md5 digest and distinct-shingle cardinality.
+    """
+    d = _docs(spark, sf_dir)
+    sh = F.array_distinct(word_shingles(F.col("text")))
+    hashes = F.transform(sh, lambda s: hash48(s))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in range(1, len(t) - 1)]) AS sh
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), w -> w <> '') AS t
+        FROM documents)
+)
+SELECT doc_id, md5(text) AS content_hash,
+       list_min(list_transform(sh, s -> {duckdb_hash48('s')})) AS fingerprint,
+       len(sh) AS n_shingles
+FROM base
+"""
+
+
+QUERIES = {
+    "token_stats": token_stats,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "token_stats": TOKEN_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+}

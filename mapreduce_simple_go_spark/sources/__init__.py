@@ -29,10 +29,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts`` normalized to TimestampType.
 
     The fixture writes TIMESTAMP(NANOS); with nanosAsLong the column arrives
-    as long nanoseconds — convert via integral microseconds (values are
-    microsecond-precision so the division is exact).
+    as long nanoseconds. Integer division (``div``) truncates to microseconds
+    exactly like readers that downcast ns->us (e.g. DuckDB). Float division
+    would be wrong: epoch-nanos exceed double's 2^53 integer range.
     """
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if isinstance(ev.schema["ts"].dataType, LongType):
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return ev
