@@ -1,0 +1,79 @@
+"""Engine facade — the single entry object a user of the reference would
+pick up when switching to this repo.
+
+The reference exposes: a distributed MapReduce runner (coordinator+workers),
+a sequential oracle runner, and eight app queries. ``Engine`` exposes the
+same surface plus the DataFrame-native operators:
+
+    eng = Engine()                          # or Engine(spark)
+    eng.map_reduce(df, mapf, reducef)       # raw UDF contract (RDD path)
+    eng.map_reduce_files("data/*.txt", mapf, reducef)
+    eng.sequential(df, mapf, reducef)       # golden-oracle mode (E16)
+    eng.query("wc", sf_dir)                 # any named operator
+    eng.queries()                           # name -> callable registry
+    eng.save_text_kv(df, path)              # reference "k v" line sink
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import all_oracles, all_queries
+from .operators.mapreduce import (
+    MapF,
+    ReduceF,
+    map_reduce_files,
+    map_reduce_kv,
+    map_reduce_sequential,
+)
+from .session import get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self._registry = all_queries()
+        self._oracles = all_oracles()
+
+    # -- reference-parity MapReduce surface --------------------------------
+
+    def map_reduce(
+        self, inputs: DataFrame, mapf: MapF, reducef: ReduceF, n_reduce: int = 10
+    ) -> DataFrame:
+        return map_reduce_kv(self.spark, inputs, mapf, reducef, n_reduce)
+
+    def map_reduce_files(
+        self, path_glob: str, mapf: MapF, reducef: ReduceF, n_reduce: int = 10
+    ) -> DataFrame:
+        return map_reduce_files(self.spark, path_glob, mapf, reducef, n_reduce)
+
+    def sequential(self, inputs: DataFrame, mapf: MapF, reducef: ReduceF) -> DataFrame:
+        return map_reduce_sequential(self.spark, inputs, mapf, reducef)
+
+    # -- named operators ----------------------------------------------------
+
+    def queries(self) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+        return dict(self._registry)
+
+    def query(self, name: str, sf_dir: str) -> DataFrame:
+        return self._registry[name](self.spark, sf_dir)
+
+    def oracle_sql(self, name: str) -> str | None:
+        return self._oracles.get(name)
+
+    # -- sinks ---------------------------------------------------------------
+
+    def save_text_kv(self, df: DataFrame, path: str) -> None:
+        """Reference output sink: "<key> <value>" text lines (worker.go:145).
+
+        One file per partition, atomic visibility via the Hadoop commit
+        protocol — the same guarantee the reference gets from tempfile +
+        rename (worker.go:149-152).
+        """
+        cols = df.columns
+        df.select(
+            F.concat_ws(" ", F.col(cols[0]).cast("string"), F.col(cols[1]).cast("string"))
+        ).write.mode("overwrite").text(path)

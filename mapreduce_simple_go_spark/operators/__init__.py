@@ -14,7 +14,7 @@ from . import kv, relational, text
 
 def _modules():
     mods = [text, relational, kv]
-    for name in ("dedup", "similarity", "textstats", "events", "sessions"):
+    for name in ("dedup", "similarity", "textstats", "events", "multimodal"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:

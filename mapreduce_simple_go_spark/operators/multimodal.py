@@ -1,0 +1,159 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Pattern for image/audio/video at 100 TB: media as ``binary`` columns with a
+typed metadata struct alongside, processed by Arrow-batched ``mapInPandas``
+(one Python process per partition, columnar transfer, no per-row overhead).
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_media`` raises NotImplementedError for real formats and provides a
+deterministic fake decode for the synthetic fixture — the Spark-side
+contract (schemas, batching, partitioning, UDF signatures) is real and
+tested in tests/test_multimodal.py.
+
+The fixture has no binary table; :func:`synth_media` derives a deterministic
+binary column from documents.text (utf-8 bytes as the "payload").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media", StringType()),  # replaced by binary below
+    ]
+)
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media table: (doc_id, media binary, meta struct).
+
+    Stands in for an ingested image/audio table; payload = utf-8 document
+    bytes, metadata = declared format + payload size.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.octet_length("text").alias("n_bytes"),
+            (F.col("doc_id") % 3).cast("int").alias("channel"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(payload: bytes, fmt: str) -> bytes:
+    """Decode a media payload. STUB: only the synthetic format is supported.
+
+    Real formats (image/jpeg, audio/wav, ...) require codec libraries not
+    present in this container — they raise NotImplementedError; the
+    deterministic fake path keeps the pipeline testable end-to-end.
+    """
+    if fmt == "fake/raw":
+        return payload
+    raise NotImplementedError(
+        f"no codec for {fmt!r} in this environment; plug a real decoder here"
+    )
+
+
+def _feature_vector(payload: bytes) -> list[float]:
+    """Deterministic FEATURE_DIM-dim feature: bytes of the sha256 digest,
+    scaled to [0, 1) — a stand-in for an embedding-model forward pass."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 256.0 for b in digest[:FEATURE_DIM]]
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("format", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Batched feature extraction over the binary column via mapInPandas.
+
+    Arrow delivers whole column batches to Python; each batch is processed
+    vectorized-ish (per-row hash here, a model batch-forward in real life).
+    Column pruning still works: only (doc_id, media, media_meta) are read.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                decode_media(bytes(m), meta["format"])
+                for m, meta in zip(pdf["media"], pdf["media_meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "format": [meta["format"] for meta in pdf["media_meta"]],
+                    "feature": [_feature_vector(p) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", ArrayType(FloatType())),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """'Video' frame sampling: split each payload into n_frames equal chunks,
+    one feature row per chunk — the 1:N mapInPandas shape (UDTF-style)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_no, out_frame = [], [], []
+            for doc_id, m, meta in zip(pdf["doc_id"], pdf["media"], pdf["media_meta"]):
+                payload = decode_media(bytes(m), meta["format"])
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    chunk = payload[i * step : (i + 1) * step]
+                    out_id.append(doc_id)
+                    out_no.append(i)
+                    out_frame.append(_feature_vector(chunk))
+            yield pd.DataFrame({"doc_id": out_id, "frame_no": out_no, "frame": out_frame})
+
+    return media.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: synth media -> batched feature extraction."""
+    return extract_features(synth_media(spark, sf_dir))
+
+
+# No DuckDB oracle: the mapInPandas feature extraction is not
+# SQL-expressible (sha256-derived float vectors); the driver records the
+# weaker rows-only check and tests/test_multimodal.py pins determinism.
+QUERIES = {"multimodal_features": multimodal_features}
+ORACLES: dict[str, str] = {}

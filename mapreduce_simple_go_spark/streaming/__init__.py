@@ -1,0 +1,115 @@
+"""Structured Streaming operators.
+
+The reference has no streaming surface; its only stateful semantics are the
+declared KV get/put/append ops (/root/reference/src/models/kv.go:40-54). This
+module provides the streaming forms:
+
+- :func:`hourly_counts` — watermarked tumbling-window aggregation whose
+  result converges to the batch twin ``operators.events.events_hourly``
+  (asserted in tests/test_streaming.py).
+- :func:`kv_append_state` — the reference's put/append fold as a custom
+  stateful operator via ``applyInPandasWithState``: per-key running state
+  maintained across micro-batches, converging to
+  ``operators.kv.kv_final_state``.
+
+Scale notes: watermarks bound window state; the KV operator's state is one
+string per key (exactly the reference server's in-memory map). File-source
+streams are used in tests (``availableNow`` trigger = bounded replay).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over events parquet files in ``src_dir``.
+
+    Schema is taken from a batch read of the same directory (file sources
+    require an explicit schema); the nanosecond ``ts`` is normalized to
+    TimestampType exactly like sources.load_events.
+    """
+    schema = spark.read.parquet(src_dir).schema
+    ev = spark.readStream.schema(schema).parquet(src_dir)
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour aggregation (streaming events_hourly).
+
+    The watermark bounds state: windows older than max(event time) -
+    watermark are finalized and evicted. Late rows inside the allowance
+    still update their window.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+_KV_STATE_SCHEMA = StructType([StructField("state", StringType())])
+_KV_OUT_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("state", StringType())]
+)
+
+
+def _kv_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold put/append ops for one key across a micro-batch.
+
+    Reference semantics (models/kv.go:47-53): put overwrites, append
+    concatenates with no delimiter. Ops inside the batch are applied in seq
+    order; state persists across batches.
+    """
+    (current,) = state.get if state.exists else ("",)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        for op, value in zip(pdf["op"], pdf["value"]):
+            if op == "put":
+                current = value
+            elif op == "append":
+                current = current + value
+    state.update((current,))
+    yield pd.DataFrame({"key": [key[0]], "state": [current]})
+
+
+def kv_append_state(ops: DataFrame) -> DataFrame:
+    """Stateful streaming KV fold: per-key current value, updated each batch.
+
+    ``ops`` needs columns (seq, key, op, value). Within a micro-batch a
+    key's ops apply in seq order; across batches arrival order is the
+    stream order — the same "linearization order = arrival order" contract
+    the reference's Raft log would provide.
+    """
+    return ops.groupBy("key").applyInPandasWithState(
+        _kv_fold,
+        outputStructType=_KV_OUT_SCHEMA,
+        stateStructType=_KV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str) -> None:
+    """Drain a bounded stream into an in-memory table named ``query_name``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,77 @@
+"""Generic MapReduce API tests — the reference's own differential methodology.
+
+test-mr.sh compares the distributed run against the sequential golden run on
+sorted output (lines 66-98). Here: distributed (n_reduce=8) vs sequential
+(one partition) vs the DataFrame-native twin, all on the documents fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_simple_go_spark.engine import Engine
+from mapreduce_simple_go_spark.operators import mapreduce as mr
+from mapreduce_simple_go_spark.operators.text import word_count, inverted_index
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+@pytest.fixture(scope="module")
+def doc_inputs(spark):
+    # (doc_id-as-name, text) — the reference's (filename, contents) shape
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return docs.selectExpr("cast(doc_id as string) as filename", "text as contents")
+
+
+def sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_wc_distributed_vs_sequential(engine, doc_inputs):
+    dist = engine.map_reduce(doc_inputs, mr.wc_map, mr.wc_reduce, n_reduce=8)
+    seq = engine.sequential(doc_inputs, mr.wc_map, mr.wc_reduce)
+    assert sorted_rows(dist) == sorted_rows(seq)
+
+
+def test_wc_mapreduce_vs_dataframe(engine, doc_inputs, spark):
+    via_mr = sorted_rows(engine.map_reduce(doc_inputs, mr.wc_map, mr.wc_reduce))
+    via_df = sorted_rows(
+        word_count(spark, SF_DIR).selectExpr("word", "cast(cnt as string)")
+    )
+    assert via_mr == via_df
+
+
+def test_indexer_mapreduce_vs_dataframe(engine, doc_inputs, spark):
+    via_mr = sorted_rows(
+        engine.map_reduce(doc_inputs, mr.indexer_map, mr.indexer_reduce)
+    )
+    via_df = sorted_rows(inverted_index(spark, SF_DIR).select("word", "posting"))
+    assert via_mr == via_df
+
+
+def test_crash_app_semantics(engine, doc_inputs):
+    out = {
+        k: v
+        for k, v in engine.map_reduce(
+            doc_inputs, mr.crash_map, mr.sorted_concat_reduce
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c", "d"}
+    n_docs = doc_inputs.count()
+    assert out["d"] == " ".join(["xyzzy"] * n_docs)
+    assert len(out["a"].split(" ")) == n_docs
+
+
+def test_text_sink_roundtrip(engine, doc_inputs, spark, tmp_path):
+    out = engine.map_reduce(doc_inputs, mr.wc_map, mr.wc_reduce, n_reduce=4)
+    path = str(tmp_path / "mr-out")
+    engine.save_text_kv(out, path)
+    lines = spark.read.text(path)
+    assert lines.count() == out.count()
+    first = lines.first().value
+    assert len(first.split(" ")) == 2

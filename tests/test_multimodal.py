@@ -1,0 +1,56 @@
+"""Multimodal plumbing tests: schema, batching, determinism, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_simple_go_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    extract_features,
+    frame_sample,
+    synth_media,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media(spark, SF_DIR)
+
+
+def test_media_schema(media):
+    fields = dict(media.dtypes)
+    assert fields["media"] == "binary"
+    assert fields["media_meta"].startswith("struct<format:string,n_bytes:int")
+
+
+def test_extract_features_shape_and_determinism(media, spark):
+    feats = extract_features(media)
+    rows1 = {r.doc_id: (r.n_bytes, tuple(r.feature)) for r in feats.collect()}
+    rows2 = {r.doc_id: (r.n_bytes, tuple(r.feature)) for r in feats.collect()}
+    assert rows1 == rows2, "feature extraction must be deterministic"
+    assert len(rows1) == media.count()
+    some = next(iter(rows1.values()))
+    assert len(some[1]) == FEATURE_DIM
+    assert all(0.0 <= x < 1.0 for x in some[1])
+
+
+def test_feature_n_bytes_matches_meta(media):
+    feats = extract_features(media).select("doc_id", "n_bytes")
+    meta = media.select("doc_id", "media_meta.n_bytes")
+    assert sorted(map(tuple, feats.collect())) == sorted(map(tuple, meta.collect()))
+
+
+def test_frame_sample_is_one_to_n(media):
+    frames = frame_sample(media, n_frames=4)
+    assert frames.count() == media.count() * 4
+    per_doc = frames.groupBy("doc_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_doc] == [4]
+
+
+def test_decode_media_stub_gates_real_formats():
+    assert decode_media(b"abc", "fake/raw") == b"abc"
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")

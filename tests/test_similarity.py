@@ -1,0 +1,60 @@
+"""Similarity-search quality tests beyond oracle parity.
+
+The IVF cell-probe search is approximate by design; these tests pin its
+recall against the exact brute-force baseline, the standard ANN evaluation.
+Also pins MinHash estimate quality against exact Jaccard on the planted
+near-duplicate pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_simple_go_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+)
+from mapreduce_simple_go_spark.operators.similarity import (
+    TOP_K,
+    ann_cosine_topk,
+    ann_ivf_topk,
+)
+
+from .conftest import SF_DIR
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    exact = ann_cosine_topk(spark, SF_DIR).collect()
+    approx = ann_ivf_topk(spark, SF_DIR).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / TOP_K for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # nprobe=3 over ~n/25 cells; recall well above random is the contract
+    assert mean_recall >= 0.3, f"IVF mean recall {mean_recall:.2f} too low"
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """Every high-Jaccard pair (>=0.9 exact) must appear as a MinHash
+    candidate, and the estimate must be within 0.35 of exact."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, SF_DIR, threshold=0.9).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    if not exact:
+        pytest.skip("fixture has no pairs with exact jaccard >= 0.9 at this SF")
+    missed = [p for p in exact if p not in est]
+    assert not missed, f"MinHash-LSH missed planted near-dups: {missed}"
+    for p, j in exact.items():
+        assert abs(est[p] - j) <= 0.35, (p, est[p], j)

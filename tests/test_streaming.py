@@ -1,0 +1,80 @@
+"""Streaming operators must converge to their batch twins (bounded replay).
+
+Methodology mirrors the reference's differential testing: the same query run
+two ways must produce identical sorted results (test-mr.sh:66-98) — here the
+two ways are Structured Streaming (availableNow over a file source) and the
+batch DataFrame operator.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from mapreduce_simple_go_spark.operators.events import events_hourly
+from mapreduce_simple_go_spark.operators.kv import kv_final_state, kv_ops
+from mapreduce_simple_go_spark.streaming import (
+    hourly_counts,
+    kv_append_state,
+    run_available_now,
+    stream_events,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_src(tmp_path_factory):
+    """Copy the events parquet into a directory usable as a file-source."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "part-000.parquet")
+    return str(d)
+
+
+def sorted_rows(df_or_rows):
+    rows = df_or_rows.collect() if hasattr(df_or_rows, "collect") else df_or_rows
+    return sorted(tuple(r) for r in rows)
+
+
+def test_streaming_hourly_matches_batch(spark, events_src):
+    stream = hourly_counts(stream_events(spark, events_src))
+    run_available_now(stream, "hourly_mem", "complete")
+    got = sorted_rows(spark.sql("SELECT * FROM hourly_mem"))
+    want = sorted_rows(events_hourly(spark, SF_DIR))
+    assert got == want
+
+
+def test_streaming_kv_state_matches_batch(spark, events_src):
+    ev = stream_events(spark, events_src)
+    from pyspark.sql import functions as F
+
+    ops = ev.select(
+        F.col("event_id").alias("seq"),
+        (F.col("user_id") % 50).cast("string").alias("key"),
+        F.expr(
+            "CASE event_type WHEN 'click' THEN 'append' WHEN 'error' THEN 'append' "
+            "WHEN 'purchase' THEN 'put' WHEN 'signup' THEN 'put' ELSE 'get' END"
+        ).alias("op"),
+        F.concat(F.lit("v"), (F.col("event_id") % 1000).cast("string"), F.lit(";")).alias("value"),
+    ).filter(F.col("op") != "get")
+    run_available_now(kv_append_state(ops), "kv_mem", "update")
+    # update mode re-emits a key per batch; the last emission per key wins
+    got = sorted_rows(
+        spark.sql(
+            "SELECT key, state FROM (SELECT key, state, row_number() OVER "
+            "(PARTITION BY key ORDER BY rn DESC) r FROM (SELECT key, state, "
+            "monotonically_increasing_id() rn FROM kv_mem)) WHERE r = 1"
+        )
+    )
+    want = sorted_rows(kv_final_state(spark, SF_DIR))
+    assert got == want
+
+
+def test_kv_stream_ops_match_batch_ops(spark, events_src):
+    """The streaming op-derivation must equal the batch kv_ops derivation."""
+    ev = stream_events(spark, events_src)
+    run_available_now(ev, "raw_events_mem", "append")
+    n_stream = spark.sql("SELECT count(*) c FROM raw_events_mem").first().c
+    assert n_stream == kv_ops(spark, SF_DIR).count()
