@@ -50,6 +50,9 @@ def main() -> None:
         n = len(df.collect())
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        # operators may cache intermediates (LSH signatures etc.); drop them
+        # so one query's working set doesn't pressure the next one's
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_query_seconds",

@@ -97,13 +97,21 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     aggregation already applied.
     """
     sh = doc_shingles(docs)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(NUM_PERM - 1))).alias("perm")
-    salted = sh.select("doc_id", "shingle", perms)
-    h = hash48(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle")))
-    return (
-        salted.select("doc_id", "perm", h.alias("h"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    # Wide aggregation instead of an explode-by-perm long format: NUM_PERM
+    # min() aggregates computed in one codegen pass with map-side partials,
+    # so the shuffle carries one NUM_PERM-wide row per (partition, doc)
+    # instead of |shingles| x NUM_PERM rows. Unpivot afterwards (tiny).
+    mins = [
+        F.min(
+            hash48(F.concat(F.lit(f"{p}:"), F.col("shingle")))
+        ).alias(f"m{p}")
+        for p in range(NUM_PERM)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    stack_args = ", ".join(f"{p}, m{p}" for p in range(NUM_PERM))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({NUM_PERM}, {stack_args}) as (perm, minhash)"),
     )
 
 
@@ -187,36 +195,32 @@ HAVING est_jaccard >= 0.5
 # 3. SimHash -------------------------------------------------------------------
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """48-bit SimHash per document over distinct unigram token hashes.
+    """48-bit frequency-weighted SimHash per document.
 
-    bit_j(sig) = 1 iff sum over tokens of (2*bit_j(hash(token)) - 1) > 0.
-    Computed as one aggregation: explode tokens x bit positions map-side,
-    partial sums cross the shuffle.
+    bit_j(sig) = 1 iff sum over token *occurrences* of (2*bit_j(hash(tok)) -
+    1) > 0 — i.e. each term contributes with weight = its frequency, the
+    standard SimHash weighting. (A distinct-token variant collapses on this
+    corpus: short docs over a small shared vocabulary produce thousands of
+    identical signatures.)
     """
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
-    )
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     th = toks.select("doc_id", hash48(F.col("tok")).alias("h"))
-    bits = th.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        "h",
-    ).select(
-        "doc_id",
-        "bit",
-        # shiftright/shiftleft builtins need literal shift amounts; the SQL
-        # forms accept column expressions
-        F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("contrib"),
+    # One wide aggregation (SIMHASH_BITS sum columns) instead of exploding
+    # each token into SIMHASH_BITS rows: all bit extractions are flat codegen
+    # expressions and partial sums cross the shuffle as a single row per
+    # (partition, doc).
+    bit_sums = [
+        F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sig_terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(SIMHASH_BITS)
     )
     return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
+        th.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", F.expr(sig_terms).alias("simhash"))
     )
 
 
@@ -255,7 +259,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_SIMHASH_SQL = f"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
 ),
 th AS (SELECT doc_id, {duckdb_hash48("tok")} AS h FROM toks),
 bits AS (

@@ -258,3 +258,161 @@ ORACLES = {
     "top_customers_per_nation": TOP_CUSTOMERS_SQL,
     "revenue_by_month": REVENUE_BY_MONTH_SQL,
 }
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-sum, no join, no group.
+
+    The canonical pushdown probe: all three predicates reach the parquet
+    reader as PushedFilters; the aggregate is a single partial+final sum.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money(F.col("l_extendedprice")) * money(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (subtotals + grand total) — free in Spark, absent
+    in the reference (no grouping sets of any kind, SURVEY.md §2.4)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(money(F.col("o_totalprice"))).cast("double").alias("revenue"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT coverage: high-balance customers split by whether
+    they ever ordered (buyers = semi-join universe).
+
+    Set ops compile to aggregate/join shapes in Spark; both branches share
+    the scan of customer (Catalyst reuses the exchange).
+    """
+    cust = _t(spark, sf_dir, "customer")
+    buyers = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    high = cust.filter(F.col("c_acctbal") > 7500).select("c_custkey")
+    both = high.intersect(buyers).withColumn("tag", F.lit("high_bal_buyer"))
+    never = high.exceptAll(buyers.distinct()).withColumn(
+        "tag", F.lit("high_bal_never_ordered")
+    )
+    return both.unionByName(never)
+
+
+SET_OPS_SQL = """
+WITH high AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7500),
+buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+SELECT c_custkey, 'high_bal_buyer' AS tag FROM (SELECT * FROM high INTERSECT SELECT * FROM buyers)
+UNION ALL
+SELECT c_custkey, 'high_bal_never_ordered' AS tag FROM (SELECT * FROM high EXCEPT SELECT * FROM buyers)
+"""
+
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time lookup), expressed with window functions.
+
+    For every event: the user's most recent 'purchase' value at or before
+    the event. Spark has no native ASOF JOIN; the scalable formulation is a
+    running last_value(ignoreNulls) over the per-user timeline — one shuffle
+    on user_id, no range join, state bounded by one row per user.
+    """
+    from ..sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_purchase_val = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    last_purchase_ts = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        last_purchase_val.alias("last_purchase_value"),
+        last_purchase_ts.alias("last_purchase_ts"),
+    )
+
+
+ASOF_SQL = """
+SELECT event_id, user_id, ts,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER w AS last_purchase_value,
+       last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+         OVER w AS last_purchase_ts
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — expands to a two-phase aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+DISTINCT_PARTS_SQL = """
+SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+QUERIES.update(
+    {
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "rollup_order_revenue": rollup_order_revenue,
+        "set_ops_customers": set_ops_customers,
+        "asof_last_purchase": asof_last_purchase,
+        "distinct_parts_per_supplier": distinct_parts_per_supplier,
+    }
+)
+ORACLES.update(
+    {
+        "q6_forecast_revenue": Q6_SQL,
+        "rollup_order_revenue": ROLLUP_SQL,
+        "set_ops_customers": SET_OPS_SQL,
+        "asof_last_purchase": ASOF_SQL,
+        "distinct_parts_per_supplier": DISTINCT_PARTS_SQL,
+    }
+)

@@ -189,13 +189,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside the exact md5 digest and distinct-shingle cardinality.
     """
     d = _docs(spark, sf_dir)
-    sh = F.array_distinct(word_shingles(F.col("text")))
-    hashes = F.transform(sh, lambda s: hash48(s))
-    return d.select(
+    # explode + codegen aggregate (map-side partial min/count) rather than a
+    # per-row interpreted transform over the shingle array
+    sh = d.select(
         "doc_id",
         F.md5("text").alias("content_hash"),
-        F.array_min(hashes).alias("fingerprint"),
-        F.size(sh).alias("n_shingles"),
+        F.explode_outer(F.array_distinct(word_shingles(F.col("text")))).alias("shingle"),
+    )
+    return sh.groupBy("doc_id", "content_hash").agg(
+        F.min(hash48(F.col("shingle"))).alias("fingerprint"),
+        F.count("shingle").alias("n_shingles"),
     )
 
 

@@ -31,6 +31,15 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _clear_spark_cache(request):
+    """Unpersist operator caches between tests — accumulated caches from 30+
+    queries in one JVM cause steady slowdown and eviction churn."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
