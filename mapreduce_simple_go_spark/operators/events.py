@@ -137,3 +137,43 @@ ORACLES = {
     "sessionization": SESSIONIZATION_SQL,
     "top_event_values": TOP_EVENT_VALUES_SQL,
 }
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide) per event_type.
+
+    Each event lands in exactly two windows; Spark's window() expands them
+    map-side before the aggregation — the same plan the streaming twin uses.
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(money(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1, 2
+"""
+
+QUERIES["events_sliding"] = events_sliding
+ORACLES["events_sliding"] = EVENTS_SLIDING_SQL

@@ -1,0 +1,74 @@
+"""Bucketed co-located joins — the shuffle-elimination strategy for the
+fact-fact joins (orders ⋈ lineitem) that dominate at 100 TB.
+
+Writing both tables bucketed by the join key lets Spark plan a SortMergeJoin
+with NO Exchange on either side: each bucket pair joins locally. This test
+pins that plan shape, which is the difference between shuffling two fact
+tables per query and shuffling them once at ingest.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_DIR
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    (
+        orders.write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        li.write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    ot, lt = bucketed_tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.table(lt).join(
+            spark.table(ot),
+            spark.table(lt).l_orderkey == spark.table(ot).o_orderkey,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        df.count()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_results_match_unbucketed(spark, bucketed_tables):
+    ot, lt = bucketed_tables
+    bucketed = (
+        spark.table(lt)
+        .join(spark.table(ot), spark.table(lt).l_orderkey == spark.table(ot).o_orderkey)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))

@@ -1,0 +1,68 @@
+"""Plan-property tests: the invariants that keep these queries fast at scale.
+
+A correct result with a bad plan is a failure mode correctness tests can't
+see — a scan that reads every column, a filter evaluated post-shuffle, a
+dimension join that shuffles the fact table. These tests pin the plan
+properties the 100 TB story depends on.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_simple_go_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q6_forecast_revenue,
+)
+from mapreduce_simple_go_spark.operators.text import word_count
+from mapreduce_simple_go_spark.plans import (
+    count_operator,
+    formatted_plan,
+    has_partial_aggregation,
+    pushed_filters,
+    scan_read_schemas,
+)
+
+from .conftest import SF_DIR
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    df = q6_forecast_revenue(spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q1_scan_prunes_columns(spark):
+    df = q1_pricing_summary(spark, SF_DIR)
+    schemas = scan_read_schemas(df)
+    assert schemas, "no parquet scan found"
+    li_schema = schemas[0]
+    # 7 needed columns, and specifically none of the unused ones
+    assert "l_orderkey" not in li_schema and "l_partkey" not in li_schema
+    assert "l_returnflag" in li_schema and "l_extendedprice" in li_schema
+
+
+def test_q1_has_map_side_partial_aggregation(spark):
+    assert has_partial_aggregation(q1_pricing_summary(spark, SF_DIR))
+
+
+def test_wc_has_map_side_partial_aggregation(spark):
+    # the reference ships one row per word occurrence through its shuffle
+    # (no combiner, worker.go:92-94); our plan must not
+    assert has_partial_aggregation(word_count(spark, SF_DIR))
+
+
+def test_q3_broadcasts_dimension_join(spark):
+    df = q3_shipping_priority(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the fact-fact join may be shuffle-based; the customer join must not
+    # force a third shuffle of lineitem
+    assert plan.count("Exchange") <= 6
+
+
+def test_word_count_single_shuffle(spark):
+    df = word_count(spark, SF_DIR)
+    # one Exchange: the final aggregation; tokenize+partial agg are map-side
+    assert count_operator(df, "Exchange") == 1

@@ -78,3 +78,33 @@ def test_kv_stream_ops_match_batch_ops(spark, events_src):
     run_available_now(ev, "raw_events_mem", "append")
     n_stream = spark.sql("SELECT count(*) c FROM raw_events_mem").first().c
     assert n_stream == kv_ops(spark, SF_DIR).count()
+
+
+def test_streaming_sliding_matches_batch(spark, events_src):
+    from mapreduce_simple_go_spark.operators.events import events_sliding
+    from mapreduce_simple_go_spark.streaming import sliding_counts
+
+    stream = sliding_counts(stream_events(spark, events_src))
+    run_available_now(stream, "sliding_mem", "complete")
+    got = sorted_rows(spark.sql("SELECT * FROM sliding_mem"))
+    want = sorted_rows(events_sliding(spark, SF_DIR))
+    assert got == want
+
+
+def test_session_window_matches_gaps_and_islands(spark, events_src):
+    """Native session_window (streaming) vs the batch gaps-and-islands fold:
+    same sessions (user, start, count, value)."""
+    from mapreduce_simple_go_spark.operators.events import sessionization
+    from mapreduce_simple_go_spark.streaming import session_windows
+
+    stream = session_windows(stream_events(spark, events_src))
+    run_available_now(stream, "sessions_mem", "complete")
+    got = sorted_rows(
+        spark.sql("SELECT user_id, session_start, n_events, total_value FROM sessions_mem")
+    )
+    want = sorted_rows(
+        sessionization(spark, SF_DIR).select(
+            "user_id", "session_start", "n_events", "total_value"
+        )
+    )
+    assert got == want
