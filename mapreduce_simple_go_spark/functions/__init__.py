@@ -113,13 +113,13 @@ def norm_unrolled(a: Column, dim: int) -> Column:
 def cosine_similarity_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Cosine similarity with the dot/norm sums unrolled over a known dim.
 
-    Higher-order functions (``aggregate``/``zip_with``) evaluate interpreted,
-    outside whole-stage codegen — on an O(n^2) pair scan that dominates the
-    runtime. With the dimension known, a flat ``a[1]*b[1] + ... + a[d]*b[d]``
-    expression stays inside codegen (~10x faster) while keeping the exact
-    left-to-right accumulation order the DuckDB oracle reproduces.
+    Caveat from measurement (see operators/similarity.py): for 64-dim
+    vectors the unrolled form generates expressions large enough to blow
+    JIT inlining limits and codegen compile budgets — the compact
+    higher-order :func:`cosine_similarity` or a numpy-scored ``mapInPandas``
+    beat it at every pair count we tried. Kept for narrow dims (<= ~16)
+    where the flat expression genuinely stays hot.
     """
-
     return dot_unrolled(a, b, dim) / (norm_unrolled(a, dim) * norm_unrolled(b, dim))
 
 
@@ -130,3 +130,28 @@ def money(col: Column) -> Column:
     and the DuckDB oracle agree bit-for-bit regardless of partitioning.
     """
     return col.cast("decimal(18,2)")
+
+
+def salted_join(left, right, key: str, n_salt: int = 8, how: str = "inner"):
+    """Skew-mitigating equi-join: salt the skewed left side, replicate right.
+
+    A hot key concentrates its rows in one shuffle partition; salting
+    spreads them across ``n_salt`` sub-keys while replicating the (smaller)
+    right side once per salt value. AQE's skew-join handles moderate skew
+    automatically — this is the explicit form for extreme keys or when AQE
+    is unavailable (e.g. inside a streaming join).
+
+    Returns the joined DataFrame with helper columns dropped.
+    """
+    from pyspark.sql import functions as F
+
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * n_salt).cast("int")
+    )
+    exploded_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return (
+        salted_left.join(exploded_right, [key, "__salt"], how)
+        .drop("__salt")
+    )

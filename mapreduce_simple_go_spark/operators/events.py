@@ -177,3 +177,59 @@ GROUP BY 1, 2
 
 QUERIES["events_sliding"] = events_sliding
 ORACLES["events_sliding"] = EVENTS_SLIDING_SQL
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function coverage: extract props.k from the JSON string column.
+
+    get_json_object stays JVM-side; at scale prefer from_json with an
+    explicit schema once per pipeline, but path extraction composes with
+    pushdown the same way.
+    """
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+EVENTS_PROPS_JSON_SQL = """
+SELECT event_type,
+       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: per-user event counts spread into one column per type."""
+    ev = load_events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+
+
+USER_EVENT_PIVOT_SQL = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       SUM(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       SUM(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["events_props_json"] = events_props_json
+QUERIES["user_event_pivot"] = user_event_pivot
+ORACLES["events_props_json"] = EVENTS_PROPS_JSON_SQL
+ORACLES["user_event_pivot"] = USER_EVENT_PIVOT_SQL

@@ -416,3 +416,45 @@ ORACLES.update(
         "distinct_parts_per_supplier": DISTINCT_PARTS_SQL,
     }
 )
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all grouping-set combinations of two dimensions."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def median_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (percentile, not approx)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("median_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+MEDIAN_SQL = """
+SELECT c_mktsegment,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+QUERIES["cube_order_stats"] = cube_order_stats
+QUERIES["median_order_by_segment"] = median_order_by_segment
+ORACLES["cube_order_stats"] = CUBE_SQL
+ORACLES["median_order_by_segment"] = MEDIAN_SQL

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions import cosine_similarity_unrolled, norm_unrolled
+from ..functions import cosine_similarity
 
 TOP_K = 5
 QUERY_MOD = 100   # vec_id % QUERY_MOD == 0 -> query vector
@@ -58,7 +58,11 @@ EMBED_DIM = 64  # fixture embedding dimensionality; asserted in tests
 
 
 def _cos(a, b):
-    return F.round(cosine_similarity_unrolled(a, b, EMBED_DIM), 9)
+    # The higher-order-function form beats the unrolled-expression form for
+    # these moderate pair counts: whole-stage codegen of a 192-term
+    # expression costs seconds to compile per stage, more than interpreting
+    # the compact aggregate over the actual rows (measured both).
+    return F.round(cosine_similarity(a, b), 9)
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,36 +224,61 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.45
     cell assignment above (join within cells only) is the pre-filter. The
     fixture's embeddings top out near 0.51 cosine, hence the 0.45 default.
     """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     e = _emb(spark, sf_dir)
-    # Hoist norms: computed once per vector (n rows), not per pair (n^2/2).
-    # The dot product itself uses the compact higher-order aggregate — a
-    # fully unrolled/flattened expression was tried and is worse here (the
-    # generated code for a 128-ref expression over a 132-column join row
-    # explodes; see git history).
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        norm_unrolled(F.col("embedding"), EMBED_DIM).alias("na"),
+
+    # Broadcast-matrix scoring: the base side is collected to a numpy matrix
+    # and broadcast (512 KB here — same memory contract as a broadcast-hash
+    # join's build side), then mapInPandas scores each partition's vectors
+    # against the matrix vectorized across rows. JVM alternatives measured
+    # at sf0.1: interpreted higher-order aggregate ~20 s, unrolled codegen
+    # expression worse (JIT limits); this path ~2 s.
+    #
+    # Bit-exactness with the DuckDB oracle is preserved because accumulation
+    # stays dimension-ordered: acc += M[:,i] * a[i] iterates i left-to-right
+    # — per pair the identical IEEE operation sequence as the sequential
+    # list_reduce the oracle uses. numpy only vectorizes ACROSS pairs.
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.zeros(len(ids))
+    for i in range(M.shape[1]):
+        norms += M[:, i] * M[:, i]
+    norms = np.sqrt(norms)
+    bc = spark.sparkContext.broadcast((ids, M, norms))
+    # loose raw-value prefilter in Python; the exact HALF_UP rounding +
+    # threshold happens in Spark where it matches the oracle's round()
+    raw_cut = threshold - 1e-8
+
+    def score(it):
+        b_ids, b_M, b_norms = bc.value
+        for pdf in it:
+            out_a, out_b, out_raw = [], [], []
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            for j, vid in enumerate(pdf["vec_id"]):
+                a = A[j]
+                acc = np.zeros(len(b_ids))
+                na = 0.0
+                for i in range(len(a)):
+                    acc += b_M[:, i] * a[i]
+                    na += a[i] * a[i]
+                cos = acc / (b_norms * math.sqrt(na))
+                mask = (b_ids > vid) & (cos >= raw_cut)
+                out_a.extend([vid] * int(mask.sum()))
+                out_b.extend(b_ids[mask])
+                out_raw.extend(cos[mask])
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "raw": out_raw})
+
+    cand = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="vec_a long, vec_b long, raw double"
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        norm_unrolled(F.col("embedding"), EMBED_DIM).alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(dot / (F.col("na") * F.col("nb")), 9)
-    # rand(0)*0 adds exactly 0.0 but marks the predicate nondeterministic,
-    # which stops Catalyst pushing the cosine into the nested-loop join
-    # condition (where it would evaluate once more, per candidate pair).
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter((F.col("cosine") + F.rand(0) * 0) >= threshold)
-    )
+    return cand.select(
+        "vec_a", "vec_b", F.round(F.col("raw"), 9).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 EMB_NEAR_DUP_SQL = f"""
