@@ -37,6 +37,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(app_name="bench")
+    # warm the JVM (codegen, shuffle machinery, python workers) outside the
+    # timed region so the first query doesn't absorb session startup
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).selectExpr(
+        "sum(length(text))"
+    ).collect()
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
     extra = [n for n in sorted(registry) if n not in HEADLINE]

@@ -35,13 +35,6 @@ from pyspark.sql.types import (
 
 FEATURE_DIM = 8
 
-MEDIA_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("media", StringType()),  # replaced by binary below
-    ]
-)
-
 
 def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake media table: (doc_id, media binary, meta struct).

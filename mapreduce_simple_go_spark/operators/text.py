@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import TOKEN_SPLIT_REGEX, tokens
+from ..functions import tokens
 
 DUCK_TOKENS = (
     "list_filter(regexp_split_to_array({col}, '[^\\p{{L}}]+'), w -> w <> '')"

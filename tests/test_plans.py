@@ -8,8 +8,6 @@ properties the 100 TB story depends on.
 
 from __future__ import annotations
 
-import pytest
-
 from mapreduce_simple_go_spark.operators.relational import (
     q1_pricing_summary,
     q3_shipping_priority,

@@ -1,0 +1,57 @@
+"""Unicode tokenization parity — the A1 contract (SURVEY.md §2.2).
+
+The reference splits on Go's unicode.IsLetter (wc.go:22-26): digits and
+punctuation are separators, any Unicode letter is a word character. Our
+engine pins [^\\p{L}]+ against a pure-Python `regex` oracle on adversarial
+inputs the fixture may not contain (combining forms, CJK, empty-ish docs).
+"""
+
+from __future__ import annotations
+
+import regex
+
+from pyspark.sql import functions as F
+
+from mapreduce_simple_go_spark.functions import tokens
+
+CASES = [
+    "plain ascii words",
+    "café Müller κόσμος",           # accented latin, greek
+    "汉字 мир עברית",                # CJK, cyrillic, hebrew
+    "digits42separate7words",        # digits are separators
+    "punct!,.;:-_()[]{}only",
+    "",                              # empty doc
+    "   \n\t  ",                     # whitespace-only
+    "...!!!???",                     # punctuation-only
+    "x",                             # single letter
+    "word-with-hyphens and_under",   # '-' and '_' are separators
+]
+
+
+def py_tokens(text: str) -> list[str]:
+    return [w for w in regex.split(r"[^\p{L}]+", text) if w]
+
+
+def test_spark_tokens_match_python_oracle(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CASES)], "i int, text string")
+    got = {
+        r.i: list(r.toks)
+        for r in df.select("i", tokens(F.col("text")).alias("toks")).collect()
+    }
+    for i, t in enumerate(CASES):
+        assert got[i] == py_tokens(t), f"case {i}: {t!r}"
+
+
+def test_wc_counts_match_python_counter(spark):
+    from collections import Counter
+
+    df = spark.createDataFrame([(t,) for t in CASES], "text string")
+    got = {
+        r.word: r.cnt
+        for r in df.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    want = Counter(w for t in CASES for w in py_tokens(t))
+    assert got == dict(want)
