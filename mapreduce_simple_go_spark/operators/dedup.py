@@ -27,11 +27,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import duckdb_hash48, hash48, tokens, word_shingles
+from ..functions import duckdb_hash48, hash48, tokens
 
 SHINGLE_N = 3
 NUM_PERM = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
+# affine permutation family over Z_2^48: odd multiplier (bijection) + offset;
+# A_p < 2^15 keeps A_p * h < 2^63 so both engines stay in exact int64 range
+PERM_COEFFS = [
+    (4097 + 2 * p, ((p + 1) * 2654435761) % (1 << 31)) for p in range(NUM_PERM)
+]
 SIMHASH_BITS = 48
 SIMHASH_BLOCKS = 4
 SIMHASH_MAX_DIST = 3
@@ -57,9 +62,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the unit set for Jaccard/MinHash."""
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("shingle")
+    """Distinct (doc_id, shingle) pairs — the unit set for Jaccard/MinHash.
+
+    posexplode + window lead instead of a per-document higher-order
+    transform: the lead() formulation runs entirely in whole-stage codegen
+    (the HOF array version evaluated interpreted and dominated MinHash
+    runtime). One shuffle on doc_id; dedup rides the same partitioning.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("tok", n - 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
     )
 
 
@@ -89,25 +114,21 @@ GROUP BY md5(text)
 # 2. MinHash + LSH -------------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, perm, minhash): NUM_PERM permutations via seed-salted hash48.
-
-    One shuffle: shingles x perms aggregated by (doc_id, perm). The perm
-    fan-out happens map-side (explode of a literal seed array), so the
-    shuffle input is |shingles| x NUM_PERM small rows with partial min
-    aggregation already applied.
-    """
+    """(doc_id, perm, minhash): NUM_PERM affine permutations of hash48."""
     sh = doc_shingles(docs)
-    # Wide aggregation instead of an explode-by-perm long format: NUM_PERM
-    # min() aggregates computed in one codegen pass with map-side partials,
-    # so the shuffle carries one NUM_PERM-wide row per (partition, doc)
-    # instead of |shingles| x NUM_PERM rows. Unpivot afterwards (tiny).
+    # One md5 per shingle; the NUM_PERM permutations are affine maps
+    # h_p = (A_p*h + B_p) mod 2^48 with odd A_p (a bijection on Z_2^48),
+    # pure integer arithmetic both engines reproduce exactly — 16x fewer
+    # md5 evaluations than salting the hash input per permutation.
+    # Wide aggregation: NUM_PERM min() columns in one codegen pass with
+    # map-side partials; the shuffle carries one wide row per (partition,
+    # doc). Unpivot afterwards (tiny).
+    hashed = sh.select("doc_id", hash48(F.col("shingle")).alias("h"))
     mins = [
-        F.min(
-            hash48(F.concat(F.lit(f"{p}:"), F.col("shingle")))
-        ).alias(f"m{p}")
-        for p in range(NUM_PERM)
+        F.min(F.expr(f"({a} * h + {b}) & {(1 << 48) - 1}")).alias(f"m{p}")
+        for p, (a, b) in enumerate(PERM_COEFFS)
     ]
-    wide = sh.groupBy("doc_id").agg(*mins)
+    wide = hashed.groupBy("doc_id").agg(*mins)
     stack_args = ", ".join(f"{p}, m{p}" for p in range(NUM_PERM))
     return wide.select(
         "doc_id",
@@ -165,11 +186,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est
 
 
+_DUCK_COEFFS = ", ".join(f"({p}, {a}, {b})" for p, (a, b) in enumerate(PERM_COEFFS))
+
 DEDUP_MINHASH_SQL = f"""
 WITH sh AS ({DUCK_DOC_SHINGLES}),
+hashed AS (SELECT doc_id, {duckdb_hash48("shingle")} AS h FROM sh),
 mh AS (
-  SELECT doc_id, perm, MIN({duckdb_hash48("CAST(perm AS VARCHAR) || ':' || shingle")}) AS minhash
-  FROM sh, (SELECT unnest(range({NUM_PERM})) AS perm)
+  SELECT doc_id, perm, MIN((a * h + b) & {(1 << 48) - 1}) AS minhash
+  FROM hashed, (VALUES {_DUCK_COEFFS}) AS coeffs(perm, a, b)
   GROUP BY doc_id, perm
 ),
 bands AS (

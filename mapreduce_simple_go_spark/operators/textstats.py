@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import duckdb_hash48, hash48, tokens, word_shingles
+from ..functions import duckdb_hash48, hash48, tokens
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
 BPE_REGEX = r"[\p{L}]+|[0-9]+|[^\s\p{L}0-9]"
@@ -188,17 +188,28 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash — robust to word-order-preserving edits far from the minimum),
     alongside the exact md5 digest and distinct-shingle cardinality.
     """
+    from .dedup import doc_shingles
+
     d = _docs(spark, sf_dir)
-    # explode + codegen aggregate (map-side partial min/count) rather than a
-    # per-row interpreted transform over the shingle array
-    sh = d.select(
-        "doc_id",
-        F.md5("text").alias("content_hash"),
-        F.explode_outer(F.array_distinct(word_shingles(F.col("text")))).alias("shingle"),
+    agg = (
+        doc_shingles(d)
+        .groupBy("doc_id")
+        .agg(
+            F.min(hash48(F.col("shingle"))).alias("fingerprint"),
+            F.count("*").alias("n_shingles"),
+        )
     )
-    return sh.groupBy("doc_id", "content_hash").agg(
-        F.min(hash48(F.col("shingle"))).alias("fingerprint"),
-        F.count("shingle").alias("n_shingles"),
+    # left join keeps shingle-less docs (null fingerprint, 0 shingles) —
+    # same contract as the oracle's list_min(empty)/len(empty)
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            "fingerprint",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+        )
     )
 
 
