@@ -64,6 +64,35 @@ class Engine:
     def oracle_sql(self, name: str) -> str | None:
         return self._oracles.get(name)
 
+    # -- SQL surface ---------------------------------------------------------
+
+    FIXTURE_TABLES = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+
+    def sql(self, query: str, sf_dir: str) -> DataFrame:
+        """Run ANSI SQL against the fixture tables (registered as temp views).
+
+        The full Spark SQL dialect — the query surface the reference never
+        had. ``events`` is registered with its timestamp normalized.
+        """
+        import os
+
+        from .sources import load_events
+
+        for name in self.FIXTURE_TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            df = (
+                load_events(self.spark, sf_dir)
+                if name == "events"
+                else self.spark.read.parquet(path)
+            )
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     # -- sinks ---------------------------------------------------------------
 
     def save_text_kv(self, df: DataFrame, path: str) -> None:

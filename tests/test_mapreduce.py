@@ -75,3 +75,21 @@ def test_text_sink_roundtrip(engine, doc_inputs, spark, tmp_path):
     assert lines.count() == out.count()
     first = lines.first().value
     assert len(first.split(" ")) == 2
+
+
+def test_engine_sql_surface(engine):
+    df = engine.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        """,
+        SF_DIR,
+    )
+    rows = df.collect()
+    assert len(rows) > 0 and all(r.n > 0 for r in rows)
+
+
+def test_engine_sql_events_ts_normalized(engine):
+    df = engine.sql("SELECT min(ts) AS mn FROM events", SF_DIR)
+    assert str(df.schema["mn"].dataType) == "TimestampType()"

@@ -108,3 +108,25 @@ def test_session_window_matches_gaps_and_islands(spark, events_src):
         )
     )
     assert got == want
+
+
+def test_stream_static_enrichment(spark, events_src):
+    """Stream-static join: streaming events enriched with a static dimension
+    (the standard streaming fact ⋈ broadcast dim shape)."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(["click", "view", "purchase", "signup", "error"])],
+        "event_type string, type_code int",
+    )
+    ev = stream_events(spark, events_src)
+    enriched = ev.join(dim, "event_type").groupBy("type_code").count()
+    run_available_now(enriched, "enriched_mem", "complete")
+    got = {r.type_code: r["count"] for r in spark.sql("SELECT * FROM enriched_mem").collect()}
+    from mapreduce_simple_go_spark.sources import load_events
+
+    want = {
+        r.type_code: r["count"]
+        for r in load_events(spark, SF_DIR).join(dim, "event_type").groupBy("type_code").count().collect()
+    }
+    assert got == want
