@@ -9,17 +9,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import kv, relational, text
+from . import dedup, events, kv, multimodal, relational, similarity, text, textstats
 
 
 def _modules():
-    mods = [text, relational, kv]
-    for name in ("dedup", "similarity", "textstats", "events", "multimodal"):
-        try:
-            mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
-        except ImportError:
-            pass
-    return mods
+    # strict imports: a broken module must fail loudly here, not silently
+    # drop its queries from the registry the driver's gate checks
+    return [text, relational, kv, dedup, similarity, textstats, events, multimodal]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,73 @@
+"""Source/sink coverage: whole-file scan over real text files (E1) and
+format round-trips (csv/json/text) — SURVEY.md §2.4 scans row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mapreduce_simple_go_spark.engine import Engine
+from mapreduce_simple_go_spark.operators import mapreduce as mr
+from mapreduce_simple_go_spark.sources import whole_text_files
+
+from .conftest import SF_DIR
+
+
+def _dump_docs_as_files(spark, tmp_path, n=20):
+    """Write the first n fixture documents as real text files (pg-*.txt style)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(n).collect()
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for r in docs:
+        (d / f"pg-{r.doc_id:05d}.txt").write_text(r.text)
+    return str(d), {f"pg-{r.doc_id:05d}.txt": r.text for r in docs}
+
+
+def test_whole_text_files_contract(spark, tmp_path):
+    path, want = _dump_docs_as_files(spark, tmp_path)
+    df = whole_text_files(spark, os.path.join(path, "*.txt"))
+    got = {os.path.basename(r.filename): r.contents for r in df.collect()}
+    assert got == want
+
+
+def test_map_reduce_files_end_to_end(spark, tmp_path):
+    """The reference's primary entry point on real files: mrcoordinator
+    pg*.txt equivalent, checked against a pure-Python oracle."""
+    from collections import Counter
+
+    path, corpus = _dump_docs_as_files(spark, tmp_path)
+    eng = Engine(spark)
+    out = eng.map_reduce_files(
+        os.path.join(path, "*.txt"), mr.wc_map, mr.wc_reduce, n_reduce=4
+    )
+    got = {r.key: int(r.value) for r in out.collect()}
+    want = Counter()
+    for text in corpus.values():
+        for w, _ in mr.wc_map("f", text):
+            want[w] += 1
+    assert got == dict(want)
+
+
+def test_csv_json_text_roundtrip(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(100)
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+    csv_path = str(tmp_path / "csv")
+    base.write.option("header", True).csv(csv_path)
+    csv_back = spark.read.option("header", True).option("inferSchema", True).csv(csv_path)
+    assert sorted(map(tuple, csv_back.collect())) == sorted(map(tuple, base.collect()))
+
+    json_path = str(tmp_path / "json")
+    base.write.json(json_path)
+    json_back = spark.read.json(json_path).select(*base.columns)
+    assert sorted(map(tuple, json_back.collect())) == sorted(map(tuple, base.collect()))
+
+    text_path = str(tmp_path / "text")
+    base.select(
+        F.concat_ws(" ", *[F.col(c).cast("string") for c in base.columns])
+    ).write.text(text_path)
+    assert spark.read.text(text_path).count() == base.count()
