@@ -300,3 +300,80 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
 }
+
+
+def embedding_near_dup_ivf(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    """Near-duplicate pairs restricted to IVF cells — the 100 TB path.
+
+    The brute-force variant scores n^2/2 pairs; this one only scores pairs
+    whose vectors share a coarse cell (same deterministic quantizer as
+    ann_ivf_topk), turning the pair scan into per-cell joins — at scale,
+    cells are the partitioning key and no cross-cell pair is ever
+    materialized. Recall vs brute force is what you trade; the pair (a, b)
+    is found iff both land in the same cell.
+    """
+    base = _emb(spark, sf_dir)
+    cents = base.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
+    assign = (
+        base.join(broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            _cos(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    cells = base.join(assign, "vec_id")
+    a = cells.select(
+        F.col("cell").alias("cell_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = cells.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pair_cos = F.round(
+        cosine_similarity(F.col("ea"), F.col("eb")), 9
+    )
+    return (
+        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", pair_cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+EMB_NEAR_DUP_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id % {CENTROID_MOD} = 0
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {duck_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cent_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+cells AS (
+  SELECT a.vec_id, a.cell, e.embedding
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       {duck_cosine('x.embedding', 'y.embedding')} AS cosine
+FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+WHERE {duck_cosine('x.embedding', 'y.embedding')} >= 0.45
+"""
+
+QUERIES["embedding_near_dup_ivf"] = embedding_near_dup_ivf
+ORACLES["embedding_near_dup_ivf"] = EMB_NEAR_DUP_IVF_SQL
