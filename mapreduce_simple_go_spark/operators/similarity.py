@@ -140,7 +140,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(id_col, F.col("cent_id").alias(out))
         )
 
-    assign = nearest_cells(base, "vec_id", "embedding", 1, "cell")
+    def nearest_cell(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+        """argmin via max_by — a partial-aggregated groupBy instead of a
+        window sort, so the big side never fully sorts per key. Tie-break:
+        struct(c_cos, -cent_id) max == highest cosine, lowest cent_id —
+        identical to the oracle's ROW_NUMBER ordering."""
+        return (
+            df.join(broadcast(cents))
+            .select(
+                id_col,
+                "cent_id",
+                _cos(F.col(emb_col), F.col("c_emb")).alias("c_cos"),
+            )
+            .groupBy(id_col)
+            .agg(F.expr("max_by(cent_id, struct(c_cos, -cent_id))").alias("cell"))
+        )
+
+    assign = nearest_cell(base, "vec_id", "embedding")
     base_cells = base.join(assign, "vec_id")
 
     queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -318,7 +334,6 @@ def embedding_near_dup_ivf(
     cents = base.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cent_id"))
     assign = (
         base.join(broadcast(cents))
         .select(
@@ -326,9 +341,9 @@ def embedding_near_dup_ivf(
             "cent_id",
             _cos(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
         )
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
+        # partial-aggregated argmin (see nearest_cell in ann_ivf_topk)
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cent_id, struct(c_cos, -cent_id))").alias("cell"))
     )
     cells = base.join(assign, "vec_id")
     a = cells.select(
