@@ -65,7 +65,12 @@ def kv_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     but the per-key state is bounded by the key's history — the same bound
     the reference's in-memory map has.
     """
-    writes = kv_ops(spark, sf_dir).filter(F.col("op") != "get")
+    return final_state_from_ops(kv_ops(spark, sf_dir))
+
+
+def final_state_from_ops(ops: DataFrame) -> DataFrame:
+    """Core fold over any (seq, key, op, value) DataFrame."""
+    writes = ops.filter(F.col("op") != "get")
     # Two-pass fold: (1) cheap aggregate for each key's last put position,
     # (2) join back (tiny side -> AQE broadcasts it) and drop every write
     # the last put overwrote BEFORE collecting, so the per-key array holds
@@ -116,7 +121,11 @@ def kv_get_visible(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch. The per-key history array is the scaling bound — for unbounded
     logs the streaming stateful variant (streaming/) is the scale path.
     """
-    ops = kv_ops(spark, sf_dir)
+    return get_visible_from_ops(kv_ops(spark, sf_dir))
+
+
+def get_visible_from_ops(ops: DataFrame) -> DataFrame:
+    """Core per-get fold over any (seq, key, op, value) DataFrame."""
     # Epoch trick: each put starts a new epoch for its key (epoch id = the
     # put's seq; -1 before any put). The visible value at a get is the
     # concatenation of write values in ITS epoch with smaller seq — so the

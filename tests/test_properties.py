@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) — the reference's GenericTest idea
+(randomized workloads checked against a model, kvraft/test_test.go:212-388)
+applied to our batch folds.
+
+Each example batches many random inputs into a single Spark job to keep
+example cost ~1 job, not 1 job per datum.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import regex
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mapreduce_simple_go_spark.functions import tokens
+from mapreduce_simple_go_spark.operators.kv import (
+    final_state_from_ops,
+    get_visible_from_ops,
+)
+
+KEYS = ["a", "b", "hot"]
+OPS = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),
+        st.sampled_from(["put", "append", "get"]),
+        st.text(alphabet="xyz;", min_size=0, max_size=3),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+_spark = None
+
+
+def _get_spark():
+    # hypothesis wraps the test body; grab the session-scoped fixture lazily
+    global _spark
+    if _spark is None:
+        from mapreduce_simple_go_spark.session import get_spark
+
+        _spark = get_spark(shuffle_partitions=4)
+    return _spark
+
+
+def dict_replay(ops):
+    state: dict[str, str] = {}
+    visible = []
+    for seq, (key, op, value) in enumerate(ops):
+        if op == "put":
+            state[key] = value
+        elif op == "append":
+            state[key] = state.get(key, "") + value
+        else:
+            visible.append((seq, key, state.get(key, "")))
+    return state, visible
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(OPS)
+def test_kv_folds_match_model_on_random_logs(ops):
+    spark = _get_spark()
+    rows = [(i, k, op, v) for i, (k, op, v) in enumerate(ops)]
+    want_state, want_visible = dict_replay(ops)
+    if rows:
+        df = spark.createDataFrame(rows, "seq long, key string, op string, value string")
+        got_state = {r.key: r.state for r in final_state_from_ops(df).collect()}
+        got_visible = sorted(
+            (r.seq, r.key, r.visible) for r in get_visible_from_ops(df).collect()
+        )
+    else:
+        got_state, got_visible = {}, []
+    # keys whose state was never written don't appear in the fold output
+    want_state = {k: v for k, v in want_state.items()}
+    assert got_state == want_state
+    assert got_visible == sorted(want_visible)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=20))
+def test_tokenizer_matches_regex_oracle_on_random_text(texts):
+    spark = _get_spark()
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: list(r.toks)
+        for r in df.select("i", tokens(F.col("t")).alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == [w for w in regex.split(r"[^\p{L}]+", t) if w], repr(t)
