@@ -81,12 +81,16 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = doc_tokens(_docs(spark, sf_dir)).select(
         "word", F.col("doc_id").cast("string").alias("doc")
     )
+    # collect_set dedups during partial aggregation, so one shuffle covers
+    # both the reference's map-side dedup and the final grouping (a
+    # distinct + groupBy formulation costs two shuffles for the same plan).
     return (
-        toks.distinct()
-        .groupBy("word")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.array_join(F.sort_array(F.collect_set("doc")), ",").alias("docs"),
+        toks.groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc")).alias("docs_arr"))
+        .select(
+            "word",
+            F.size("docs_arr").cast("long").alias("n_docs"),
+            F.array_join(F.col("docs_arr"), ",").alias("docs"),
         )
         .withColumn("posting", F.concat_ws(" ", F.col("n_docs"), F.col("docs")))
     )

@@ -64,3 +64,10 @@ def test_word_count_single_shuffle(spark):
     df = word_count(spark, SF_DIR)
     # one Exchange: the final aggregation; tokenize+partial agg are map-side
     assert count_operator(df, "Exchange") == 1
+
+
+def test_inverted_index_single_shuffle(spark):
+    from mapreduce_simple_go_spark.operators.text import inverted_index
+
+    # collect_set dedups in the partial aggregate: one Exchange total
+    assert count_operator(inverted_index(spark, SF_DIR), "Exchange") == 1
