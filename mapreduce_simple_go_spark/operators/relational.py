@@ -458,3 +458,56 @@ QUERIES["cube_order_stats"] = cube_order_stats
 QUERIES["median_order_by_segment"] = median_order_by_segment
 ORACLES["cube_order_stats"] = CUBE_SQL
 ORACLES["median_order_by_segment"] = MEDIAN_SQL
+
+
+def customers_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+NEVER_ORDERED_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape: parts priced above their brand's
+    average, decorrelated as aggregate + broadcast join (what Catalyst does
+    to the subquery form anyway — written explicitly, the plan is the
+    point: one scan for the averages, one for the probe)."""
+    part = _t(spark, sf_dir, "part")
+    avgs = part.groupBy(F.col("p_brand").alias("b")).agg(
+        (
+            F.sum(money(F.col("p_retailprice"))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("brand_avg")
+    )
+    return (
+        part.join(broadcast(avgs), part.p_brand == avgs.b)
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
+    )
+
+
+PARTS_ABOVE_AVG_SQL = """
+WITH avgs AS (
+  SELECT p_brand AS b,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS brand_avg
+  FROM part GROUP BY p_brand
+)
+SELECT p_partkey, p_brand, p_retailprice, brand_avg
+FROM part JOIN avgs ON p_brand = b
+WHERE p_retailprice > brand_avg
+"""
+
+QUERIES["customers_never_ordered"] = customers_never_ordered
+QUERIES["parts_above_brand_avg"] = parts_above_brand_avg
+ORACLES["customers_never_ordered"] = NEVER_ORDERED_SQL
+ORACLES["parts_above_brand_avg"] = PARTS_ABOVE_AVG_SQL
