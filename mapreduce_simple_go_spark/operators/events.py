@@ -233,3 +233,50 @@ QUERIES["events_props_json"] = events_props_json
 QUERIES["user_event_pivot"] = user_event_pivot
 ORACLES["events_props_json"] = EVENTS_PROPS_JSON_SQL
 ORACLES["user_event_pivot"] = USER_EVENT_PIVOT_SQL
+
+
+def purchase_within_hour_of_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within one hour after a click, per user.
+
+    The batch twin of the stream-stream interval join in streaming/ — the
+    time-bound condition is what makes the streaming form's state finite,
+    and here it bounds the per-user pair fan-out.
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    gap_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+    return (
+        clicks.join(
+            purchases,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("cu").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            gap_us.alias("gap_us"),
+        )
+    )
+
+
+PURCHASE_AFTER_CLICK_SQL = """
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+QUERIES["purchase_within_hour_of_click"] = purchase_within_hour_of_click
+ORACLES["purchase_within_hour_of_click"] = PURCHASE_AFTER_CLICK_SQL

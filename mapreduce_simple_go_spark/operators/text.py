@@ -185,3 +185,58 @@ ORACLES = {
     "per_file_metrics": PER_FILE_METRICS_SQL,
     "count_per_key": COUNT_PER_KEY_SQL,
 }
+
+
+# -- Python UDTF surface: document chunking -----------------------------------
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40  # 10-word overlap
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunks per document via a Python UDTF.
+
+    The standard training-data chunking op (fixed-size windows, fixed
+    overlap), implemented as a real arrow-optimized Python UDTF (1 row ->
+    N rows) to exercise that API surface — the reference's Map contract is
+    exactly this shape (SURVEY.md E2). Lateral join keeps doc_id attached.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, n_words int, chunk string")
+    class Chunker:
+        def eval(self, text: str):
+            import regex
+
+            toks = [w for w in regex.split(r"[^\p{L}]+", text or "") if w]
+            for i, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+                piece = toks[start : start + CHUNK_SIZE]
+                yield i, len(piece), " ".join(piece)
+
+    spark.udtf.register("doc_chunker", Chunker)
+    _docs(spark, sf_dir).createOrReplaceTempView("documents_v")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.n_words, c.chunk "
+        "FROM documents_v d, LATERAL doc_chunker(d.text) c"
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), w -> w <> '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS INT) AS chunk_no,
+       CAST(least({CHUNK_SIZE}, len(t) - s) AS INT) AS n_words,
+       array_to_string(t[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk
+FROM starts
+"""
+
+QUERIES["doc_chunks"] = doc_chunks
+ORACLES["doc_chunks"] = DOC_CHUNKS_SQL

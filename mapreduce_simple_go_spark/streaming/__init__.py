@@ -152,3 +152,46 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "total_value",
         )
     )
+
+
+def purchases_after_clicks(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases within 1 h after a click.
+
+    Both sides are watermarked and the join condition carries explicit
+    event-time bounds — that is what lets Spark evict buffered click state
+    once no qualifying purchase can still arrive (state is bounded by
+    watermark + interval, not by stream length).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    gap_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+    return (
+        clicks.join(
+            purchases,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("cu").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            gap_us.alias("gap_us"),
+        )
+    )

@@ -130,3 +130,16 @@ def test_stream_static_enrichment(spark, events_src):
         for r in load_events(spark, SF_DIR).join(dim, "event_type").groupBy("type_code").count().collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_src):
+    from mapreduce_simple_go_spark.operators.events import (
+        purchase_within_hour_of_click,
+    )
+    from mapreduce_simple_go_spark.streaming import purchases_after_clicks
+
+    stream = purchases_after_clicks(stream_events(spark, events_src))
+    run_available_now(stream, "ssj_mem", "append")
+    got = sorted_rows(spark.sql("SELECT * FROM ssj_mem"))
+    want = sorted_rows(purchase_within_hour_of_click(spark, SF_DIR))
+    assert got == want and len(got) > 0
