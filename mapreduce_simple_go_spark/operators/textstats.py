@@ -242,3 +242,61 @@ ORACLES = {
     "lang_id": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
 }
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document.
+
+    tf = in-doc occurrences, idf = ln(N/df). Three aggregations, all
+    partial-aggregated; df is a broadcast-sized side (vocabulary), so the
+    join back to term counts never shuffles the corpus-sized side twice.
+    Scores rounded to 9 dp (ln differs in the last ulp across libm
+    implementations); rank tie-break on the term string.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # scalar; the oracle inlines the same COUNT(*)
+    terms = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> w <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln((SELECT COUNT(*) FROM documents)::DOUBLE / df.df), 9) AS score
+  FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["tfidf_top_terms"] = tfidf_top_terms
+ORACLES["tfidf_top_terms"] = TFIDF_SQL
