@@ -511,3 +511,52 @@ QUERIES["customers_never_ordered"] = customers_never_ordered
 QUERIES["parts_above_brand_avg"] = parts_above_brand_avg
 ORACLES["customers_never_ordered"] = NEVER_ORDERED_SQL
 ORACLES["parts_above_brand_avg"] = PARTS_ABOVE_AVG_SQL
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE coverage: balance quartile per customer within their nation."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+QUARTILES_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       NTILE(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+FROM customer
+"""
+
+
+def event_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG coverage: per-user value change between consecutive events."""
+    from ..sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.col("value") - prev, 9).alias("delta"),
+    )
+
+
+EVENT_DELTA_SQL = """
+SELECT event_id, user_id, value,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 9) AS delta
+FROM events
+"""
+
+QUERIES["customer_balance_quartiles"] = customer_balance_quartiles
+QUERIES["event_value_delta"] = event_value_delta
+ORACLES["customer_balance_quartiles"] = QUARTILES_SQL
+ORACLES["event_value_delta"] = EVENT_DELTA_SQL
