@@ -143,3 +143,70 @@ def test_stream_stream_interval_join_matches_batch(spark, events_src):
     got = sorted_rows(spark.sql("SELECT * FROM ssj_mem"))
     want = sorted_rows(purchase_within_hour_of_click(spark, SF_DIR))
     assert got == want and len(got) > 0
+
+
+def test_kv_state_survives_multiple_microbatches(spark, tmp_path):
+    """Cross-batch state continuity: the same op log split into 3 file drops
+    processed as 3 micro-batches (maxFilesPerTrigger=1) must fold to the
+    same final state as one batch — put/append state carries across
+    micro-batch boundaries exactly like the reference's server map persists
+    across RPCs."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.operators.kv import kv_final_state
+
+    # split events into 3 time-ordered files
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    src = tmp_path / "multi"
+    src.mkdir()
+    # contiguous seq ranges: arrival order (drop order) must equal seq order
+    # per the stateful operator's contract — an interleaved split would be
+    # out-of-order arrival, which the batch oracle doesn't model
+    n = ev.count()
+    for i in range(3):
+        part = ev.filter(
+            (F.col("event_id") >= i * n / 3) & (F.col("event_id") < (i + 1) * n / 3)
+        )
+        tmp = tmp_path / f"stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        pfile = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(tmp / pfile, src / f"drop{i}.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ops = stream.select(
+        F.col("event_id").alias("seq"),
+        (F.col("user_id") % 50).cast("string").alias("key"),
+        F.expr(
+            "CASE event_type WHEN 'click' THEN 'append' WHEN 'error' THEN 'append' "
+            "WHEN 'purchase' THEN 'put' WHEN 'signup' THEN 'put' ELSE 'get' END"
+        ).alias("op"),
+        F.concat(F.lit("v"), (F.col("event_id") % 1000).cast("string"), F.lit(";")).alias("value"),
+    ).filter(F.col("op") != "get")
+    run_available_now(kv_append_state(ops), "kv_multi_mem", "update")
+    # last emission per key wins (update mode re-emits per batch)
+    got = sorted_rows(
+        spark.sql(
+            "SELECT key, state FROM (SELECT key, state, row_number() OVER "
+            "(PARTITION BY key ORDER BY rn DESC) r FROM (SELECT key, state, "
+            "monotonically_increasing_id() rn FROM kv_multi_mem)) WHERE r = 1"
+        )
+    )
+    want = sorted_rows(kv_final_state(spark, SF_DIR))
+    assert got == want
+    # prove it actually ran as multiple micro-batches: update-mode re-emits
+    # keys per batch, so total emissions exceed distinct keys
+    total = spark.sql("SELECT count(*) FROM kv_multi_mem").first()[0]
+    n_keys = spark.sql("SELECT count(DISTINCT key) FROM kv_multi_mem").first()[0]
+    assert total > n_keys, f"expected multi-batch emissions, got {total} rows for {n_keys} keys"
