@@ -12,8 +12,8 @@ deduplication, the shape a 100 TB text pipeline needs:
                        errors across 4 blocks leaves one block exact), then
                        hamming verify via bit_count(xor)
 - n-gram Jaccard     — exact set similarity via shared-shingle equi-join
-- embedding near-dup — cosine over the embeddings table (delegates to
-                       similarity.pair_cosine)
+- embedding near-dup — cosine pairs over the embeddings table (lives in
+                       operators.similarity: brute-force + IVF-cell variants)
 
 Cross-engine determinism: every hash is the md5-derived 48-bit
 ``functions.hash48`` which the DuckDB oracles recompute exactly, so even the
