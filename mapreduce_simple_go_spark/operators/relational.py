@@ -560,3 +560,62 @@ QUERIES["customer_balance_quartiles"] = customer_balance_quartiles
 QUERIES["event_value_delta"] = event_value_delta
 ORACLES["customer_balance_quartiles"] = QUARTILES_SQL
 ORACLES["event_value_delta"] = EVENT_DELTA_SQL
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (1000-wide buckets)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 1000).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn("lo", (F.col("bucket") * 1000).cast("double"))
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT bucket, COUNT(*) AS n_orders, CAST(bucket * 1000 AS DOUBLE) AS lo
+FROM (SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket FROM orders)
+GROUP BY bucket
+"""
+
+
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: 7-day trailing revenue per order date.
+
+    Daily totals first (small), then a range frame over day numbers — the
+    frame is bounded by value (7 days), not row count, so gaps in the date
+    axis are handled correctly.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(money(F.col("o_totalprice"))).cast("double").alias("day_revenue"))
+        .withColumn("day_no", F.datediff(F.col("day"), F.lit("1990-01-01").cast("date")))
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    # day as yyyy-MM-dd string: Spark DateType and DuckDB DATE stringify
+    # differently through pandas (date vs Timestamp)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_revenue",
+        F.round(F.sum("day_revenue").over(w), 2).alias("trailing_7d"),
+    )
+
+
+ROLLING_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue,
+         datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_no
+  FROM orders GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, day_revenue,
+       round(SUM(day_revenue) OVER (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+FROM daily
+"""
+
+QUERIES["order_price_histogram"] = order_price_histogram
+QUERIES["rolling_7day_revenue"] = rolling_7day_revenue
+ORACLES["order_price_histogram"] = HISTOGRAM_SQL
+ORACLES["rolling_7day_revenue"] = ROLLING_SQL

@@ -300,3 +300,31 @@ SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 5
 
 QUERIES["tfidf_top_terms"] = tfidf_top_terms
 ORACLES["tfidf_top_terms"] = TFIDF_SQL
+
+
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash (80/10/10).
+
+    The pipeline primitive for reproducible dataset splits: assignment is a
+    pure function of content (hash48 mod 100), stable across reruns,
+    partitioning, and cluster size — no RNG, no state. Grouping by content
+    also sends exact duplicates to the same split (no train/test leakage
+    from dupes).
+    """
+    d = _docs(spark, sf_dir)
+    h = hash48(F.md5(F.col("text"))) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split"), h.cast("long").alias("bucket"))
+
+
+DOC_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       b AS bucket
+FROM (SELECT doc_id, {duckdb_hash48("md5(text)")} % 100 AS b FROM documents)
+"""
+
+QUERIES["doc_split_assign"] = doc_split_assign
+ORACLES["doc_split_assign"] = DOC_SPLIT_SQL
