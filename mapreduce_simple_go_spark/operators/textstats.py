@@ -328,3 +328,82 @@ FROM (SELECT doc_id, {duckdb_hash48("md5(text)")} % 100 AS b FROM documents)
 
 QUERIES["doc_split_assign"] = doc_split_assign
 ORACLES["doc_split_assign"] = DOC_SPLIT_SQL
+
+
+def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str, min_pairs: int = 50) -> DataFrame:
+    """Top word-pair associations by PMI over document co-occurrence.
+
+    PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with document-level events:
+    p(x) = docs containing x / N. Candidate pairs come from a same-doc
+    equi-join on distinct (doc, word) — the same shared-key join shape as
+    the Jaccard dedup, with the same scale caveat (stop-words fan out; cap
+    with a doc-frequency ceiling at real scale). min_pairs filters rare
+    pairs so the estimate is stable; top-50 by PMI with deterministic
+    tie-break.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    d = _docs(spark, sf_dir)
+    n_docs = float(d.count())
+    dw = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("w")
+    )
+    df_ = dw.groupBy("w").agg(F.count("*").alias("df"))
+    a, b = dw.alias("a"), dw.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")))
+        .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    dfa = df_.select(F.col("w").alias("wa"), F.col("df").alias("df_a"))
+    dfb = df_.select(F.col("w").alias("wb"), F.col("df").alias("df_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab") / F.lit(n_docs))
+            / ((F.col("df_a") / F.lit(n_docs)) * (F.col("df_b") / F.lit(n_docs)))
+        ),
+        9,
+    )
+    scored = (
+        pairs.join(broadcast(dfa), "wa")
+        .join(broadcast(dfb), "wb")
+        .select("wa", "wb", "n_ab", pmi.alias("pmi"))
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+    )
+
+
+PMI_SQL = """
+WITH dw AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> w <> '')) AS w
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+df AS (SELECT w, COUNT(*) AS df FROM dw GROUP BY w),
+pairs AS (
+  SELECT a.w AS wa, b.w AS wb, COUNT(*) AS n_ab
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 50
+),
+scored AS (
+  SELECT wa, wb, n_ab,
+         round(ln((n_ab / n.n_docs) / ((da.df / n.n_docs) * (db.df / n.n_docs))), 9) AS pmi
+  FROM pairs, n
+  JOIN df da ON da.w = wa
+  JOIN df db ON db.w = wb
+)
+SELECT wa, wb, n_ab, pmi,
+       ROW_NUMBER() OVER (ORDER BY pmi DESC, wa ASC, wb ASC) AS rank
+FROM scored
+QUALIFY rank <= 50
+"""
+
+QUERIES["word_cooccurrence_pmi"] = word_cooccurrence_pmi
+ORACLES["word_cooccurrence_pmi"] = PMI_SQL
