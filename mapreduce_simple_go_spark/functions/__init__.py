@@ -141,12 +141,24 @@ def salted_join(left, right, key: str, n_salt: int = 8, how: str = "inner"):
     automatically — this is the explicit form for extreme keys or when AQE
     is unavailable (e.g. inside a streaming join).
 
+    The salt is derived from row CONTENT (hash of all left columns), not
+    ``rand()``: a positional RNG can re-deal salts when a lost stage is
+    recomputed from lineage, interleaving two different salt assignments
+    within one join. A content hash assigns every recomputation of a row
+    the same salt. Only inner/left are supported — replication of the right
+    side changes multiplicity semantics for semi/anti/outer-right shapes.
+
     Returns the joined DataFrame with helper columns dropped.
     """
     from pyspark.sql import functions as F
 
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: right-side "
+            "replication breaks semi/anti/right-outer multiplicity"
+        )
     salted_left = left.withColumn(
-        "__salt", (F.rand(seed=42) * n_salt).cast("int")
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salt))
     )
     exploded_right = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

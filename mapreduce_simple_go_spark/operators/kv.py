@@ -176,12 +176,81 @@ FROM ops g WHERE g.op = 'get'
 """
 
 
+def kv_ops_at_least_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic at-least-once delivery log: every 7th op is re-sent.
+
+    Models the reference clerk's retry loop (kvraft/client.go:59-64 — the
+    client re-sends an op until it gets a reply, so the server may receive
+    the same logical op twice). ``op_id`` identifies the logical op; ``seq``
+    is the delivery position. The retry of op N is delivered at 2N+3 —
+    strictly AFTER the first delivery of op N+1 (at 2N+2), so duplicates
+    genuinely interleave with later traffic rather than arriving adjacent.
+    """
+    base = kv_ops(spark, sf_dir).select(
+        F.col("seq").alias("op_id"),
+        (F.col("seq") * 2).alias("seq"),
+        "key",
+        "op",
+        "value",
+    )
+    dups = base.filter(F.col("op_id") % 7 == 0).withColumn(
+        "seq", F.col("op_id") * 2 + 3
+    )
+    return base.unionByName(dups)
+
+
+def dedup_first_win(ops: DataFrame) -> DataFrame:
+    """Apply each logical op exactly once: keep the first delivery per op_id.
+
+    The reference requires a retried Append to take effect once
+    (checkClntAppends, kvraft/test_test.go:348). One shuffle on op_id;
+    row_number (not dropDuplicates) so "first" is defined by delivery seq,
+    deterministically.
+    """
+    w = Window.partitionBy("op_id").orderBy("seq")
+    return ops.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def kv_final_state_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final KV state after replaying an at-least-once log with op-id dedup.
+
+    Equals kv_final_state on the clean log re-timed to seq*2 — duplicate
+    appends must NOT double-apply (asserted in tests/test_kv_dedup.py).
+    """
+    ops = dedup_first_win(kv_ops_at_least_once(spark, sf_dir)).drop("op_id")
+    return final_state_from_ops(ops)
+
+
+KV_FINAL_STATE_DEDUP_SQL = f"""
+WITH ops0 AS ({KV_OPS_DUCK}),
+base AS (SELECT seq AS op_id, seq * 2 AS seq, key, op, value FROM ops0),
+dups AS (SELECT op_id, op_id * 2 + 3 AS seq, key, op, value FROM base WHERE op_id % 7 = 0),
+log AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+ded AS (
+  SELECT op_id, seq, key, op, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY op_id ORDER BY seq) AS rn FROM log
+  ) WHERE rn = 1
+),
+writes AS (SELECT * FROM ded WHERE op <> 'get'),
+lp AS (
+  SELECT key, MAX(seq) FILTER (WHERE op = 'put') AS last_put
+  FROM writes GROUP BY key
+)
+SELECT w.key AS key, string_agg(w.value, '' ORDER BY w.seq) AS state
+FROM writes w JOIN lp ON w.key = lp.key
+WHERE w.seq >= COALESCE(lp.last_put, -1)
+GROUP BY w.key
+"""
+
+
 QUERIES = {
     "kv_final_state": kv_final_state,
     "kv_get_visible": kv_get_visible,
+    "kv_final_state_dedup": kv_final_state_dedup,
 }
 
 ORACLES = {
     "kv_final_state": KV_FINAL_STATE_SQL,
     "kv_get_visible": KV_GET_VISIBLE_SQL,
+    "kv_final_state_dedup": KV_FINAL_STATE_DEDUP_SQL,
 }

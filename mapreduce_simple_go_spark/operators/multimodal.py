@@ -141,12 +141,45 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """queries() entry: synth media -> batched feature extraction."""
-    return extract_features(synth_media(spark, sf_dir))
+    """queries() entry: synth media -> batched feature extraction.
+
+    The raw ``array<float>`` feature stays a library-level column
+    (:func:`extract_features`); the registered query projects it to a
+    canonical scalar string so results are sortable/hashable by external
+    harnesses. Each feature value is digest_byte/256.0, so ``x*256``
+    recovers the byte exactly (powers of two — no float error), making the
+    signature reproducible from sha256 in ANY engine.
+    """
+    feats = extract_features(synth_media(spark, sf_dir))
+    byte_of = lambda x: F.round(x * F.lit(256.0)).cast("int").cast("string")
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "format",
+        F.concat_ws("-", F.transform("feature", byte_of)).alias("feature_sig"),
+    )
 
 
-# No DuckDB oracle: the mapInPandas feature extraction is not
-# SQL-expressible (sha256-derived float vectors); the driver records the
-# weaker rows-only check and tests/test_multimodal.py pins determinism.
+# DuckDB oracle: rebuild the sha256-derived signature hex-pair by hex-pair
+# (DuckDB has sha256() but no hex->int cast; strpos arithmetic decodes each
+# pair). Note sha256 here hashes the utf-8 text bytes — identical to the
+# Spark path's encode(text,'utf-8') payload.
+_MM_ORACLE = f"""
+WITH hexed AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         'fake/raw' AS format,
+         lower(sha256(text)) AS h
+  FROM documents
+)
+SELECT doc_id, n_bytes, format,
+  array_to_string(
+    list_transform(range(0, {FEATURE_DIM}), i ->
+      CAST((strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1) AS VARCHAR)),
+    '-') AS feature_sig
+FROM hexed
+"""
+
 QUERIES = {"multimodal_features": multimodal_features}
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {"multimodal_features": _MM_ORACLE}

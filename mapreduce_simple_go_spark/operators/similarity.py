@@ -233,11 +233,25 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.45) -> DataFrame:
+MAX_BRUTE_ROWS = 200_000  # ~100 MB broadcast at 64-dim float64 — the same
+# order as a sane broadcast-join build side; beyond this the brute path's
+# driver collect stops being a "small side" and the IVF path takes over.
+
+
+def embedding_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    max_brute_rows: int = MAX_BRUTE_ROWS,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold).
 
-    Brute-force O(n^2/2) pair scan — correct but quadratic; at scale the IVF
-    cell assignment above (join within cells only) is the pre-filter. The
+    Brute-force O(n^2/2) pair scan — correct but quadratic. The base table
+    is collected to the driver and broadcast, which is only legitimate
+    while it is genuinely the SMALL side: the ``max_brute_rows`` gate
+    enforces that, delegating oversized inputs to
+    :func:`embedding_near_dup_ivf` (the cell-restricted exact-within-cell
+    scan — the 100 TB path, documented approximate across cells). The
     fixture's embeddings top out near 0.51 cosine, hence the 0.45 default.
     """
     import math
@@ -246,6 +260,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.45
     import pandas as pd
 
     e = _emb(spark, sf_dir)
+    if e.count() > max_brute_rows:
+        return embedding_near_dup_ivf(spark, sf_dir, threshold)
 
     # Broadcast-matrix scoring: the base side is collected to a numpy matrix
     # and broadcast (512 KB here — same memory contract as a broadcast-hash

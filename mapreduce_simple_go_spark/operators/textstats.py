@@ -257,19 +257,26 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     d = _docs(spark, sf_dir)
-    n_docs = d.count()  # scalar; the oracle inlines the same COUNT(*)
+    # Corpus size as a 1-row broadcast cross join, NOT a d.count() action:
+    # the count folds into the same job instead of costing a separate full
+    # pass over documents.
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     terms = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
-        ).alias("score"),
+    scored = (
+        tf.join(broadcast(df_), "term")
+        .crossJoin(broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
@@ -330,52 +337,73 @@ QUERIES["doc_split_assign"] = doc_split_assign
 ORACLES["doc_split_assign"] = DOC_SPLIT_SQL
 
 
-def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str, min_pairs: int = 50) -> DataFrame:
+def word_cooccurrence_pmi(
+    spark: SparkSession,
+    sf_dir: str,
+    min_pairs: int = 50,
+    max_df_frac: float = 0.9,
+) -> DataFrame:
     """Top word-pair associations by PMI over document co-occurrence.
 
     PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with document-level events:
     p(x) = docs containing x / N. Candidate pairs come from a same-doc
-    equi-join on distinct (doc, word) — the same shared-key join shape as
-    the Jaccard dedup, with the same scale caveat (stop-words fan out; cap
-    with a doc-frequency ceiling at real scale). min_pairs filters rare
-    pairs so the estimate is stable; top-50 by PMI with deterministic
-    tie-break.
+    equi-join on distinct (doc, word). Two scale guards:
+
+    - **df ceiling**: words in more than ``max_df_frac`` of docs are
+      excluded BEFORE the pair join — stop-words are exactly the keys whose
+      pair fan-out is quadratic, and near-universal words carry PMI ~0, so
+      the ceiling caps the join's hottest keys. 0.9 keeps the full top-k on
+      the fixture corpus (its densest word hits 80% of docs); production
+      corpora with true stop-words want 0.3-0.5.
+    - **top-k via orderBy().limit()**: compiles to TakeOrderedAndProject
+      (distributed per-partition top-k + small final merge), not a
+      single-partition global window sort of every pair.
+
+    The corpus count is folded into the plan as a 1-row broadcast cross
+    join (no separate count() pass).
     """
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
     d = _docs(spark, sf_dir)
-    n_docs = float(d.count())
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     dw = d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("w")
     )
     df_ = dw.groupBy("w").agg(F.count("*").alias("df"))
-    a, b = dw.alias("a"), dw.alias("b")
+    vocab = (
+        df_.crossJoin(broadcast(n))
+        .filter(F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
+        .select("w", "df")
+    )
+    dw_capped = dw.join(broadcast(vocab.select("w")), "w")
+    a, b = dw_capped.alias("a"), dw_capped.alias("b")
     pairs = (
         a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")))
         .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= min_pairs)
     )
-    dfa = df_.select(F.col("w").alias("wa"), F.col("df").alias("df_a"))
-    dfb = df_.select(F.col("w").alias("wb"), F.col("df").alias("df_b"))
+    dfa = vocab.select(F.col("w").alias("wa"), F.col("df").alias("df_a"))
+    dfb = vocab.select(F.col("w").alias("wb"), F.col("df").alias("df_b"))
     pmi = F.round(
         F.log(
-            (F.col("n_ab") / F.lit(n_docs))
-            / ((F.col("df_a") / F.lit(n_docs)) * (F.col("df_b") / F.lit(n_docs)))
+            (F.col("n_ab") / F.col("n_docs"))
+            / ((F.col("df_a") / F.col("n_docs")) * (F.col("df_b") / F.col("n_docs")))
         ),
         9,
     )
     scored = (
         pairs.join(broadcast(dfa), "wa")
         .join(broadcast(dfb), "wb")
+        .crossJoin(broadcast(n))
         .select("wa", "wb", "n_ab", pmi.alias("pmi"))
     )
+    # TakeOrderedAndProject for the heavy lifting; the rank window then runs
+    # over just the surviving 50 rows.
+    top = scored.orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb")).limit(50)
     w = Window.orderBy(F.desc("pmi"), F.asc("wa"), F.asc("wb"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 PMI_SQL = """
@@ -386,9 +414,11 @@ WITH dw AS (
 ),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
 df AS (SELECT w, COUNT(*) AS df FROM dw GROUP BY w),
+vocab AS (SELECT w, df FROM df, n WHERE df <= 0.9 * n.n_docs),
+dwc AS (SELECT dw.doc_id, dw.w FROM dw JOIN vocab ON dw.w = vocab.w),
 pairs AS (
   SELECT a.w AS wa, b.w AS wb, COUNT(*) AS n_ab
-  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+  FROM dwc a JOIN dwc b ON a.doc_id = b.doc_id AND a.w < b.w
   GROUP BY 1, 2
   HAVING COUNT(*) >= 50
 ),
@@ -396,8 +426,8 @@ scored AS (
   SELECT wa, wb, n_ab,
          round(ln((n_ab / n.n_docs) / ((da.df / n.n_docs) * (db.df / n.n_docs))), 9) AS pmi
   FROM pairs, n
-  JOIN df da ON da.w = wa
-  JOIN df db ON db.w = wb
+  JOIN vocab da ON da.w = wa
+  JOIN vocab db ON db.w = wb
 )
 SELECT wa, wb, n_ab, pmi,
        ROW_NUMBER() OVER (ORDER BY pmi DESC, wa ASC, wb ASC) AS rank

@@ -33,6 +33,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like readers that downcast ns->us (e.g. DuckDB). Float division
     would be wrong: epoch-nanos exceed double's 2^53 integer range.
     """
+    # Self-contained under ANY session: the fixture's physical type
+    # TIMESTAMP(NANOS) is rejected by a vanilla reader, so the legacy
+    # nanos-as-long conf must be on for this read. It is runtime-settable,
+    # so set it here rather than relying on session construction
+    # (session.get_spark also sets it, but callers may hand us a plain
+    # SparkSession -- e.g. the external correctness harness).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if isinstance(ev.schema["ts"].dataType, LongType):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

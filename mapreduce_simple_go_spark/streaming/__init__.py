@@ -34,6 +34,10 @@ def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     require an explicit schema); the nanosecond ``ts`` is normalized to
     TimestampType exactly like sources.load_events.
     """
+    # Same session-independence contract as sources.load_events: the
+    # fixture's TIMESTAMP(NANOS) physical type needs the legacy conf on,
+    # and it is runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src_dir).schema
     ev = spark.readStream.schema(schema).parquet(src_dir)
     if isinstance(ev.schema["ts"].dataType, LongType):
@@ -75,9 +79,15 @@ def _kv_fold(
     order; state persists across batches.
     """
     (current,) = state.get if state.exists else ("",)
-    for pdf in pdfs:
-        pdf = pdf.sort_values("seq")
-        for op, value in zip(pdf["op"], pdf["value"]):
+    # A key's ops within one micro-batch may span several Arrow record
+    # batches; materialize them all and sort ONCE so the fold follows
+    # global seq order, not per-chunk arrival order. Memory stays bounded
+    # by this key's ops in this micro-batch (the same bound the per-chunk
+    # loop already implied).
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        allops = pd.concat(frames, ignore_index=True).sort_values("seq")
+        for op, value in zip(allops["op"], allops["value"]):
             if op == "put":
                 current = value
             elif op == "append":
@@ -98,6 +108,57 @@ def kv_append_state(ops: DataFrame) -> DataFrame:
         _kv_fold,
         outputStructType=_KV_OUT_SCHEMA,
         stateStructType=_KV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_KV_DEDUP_STATE_SCHEMA = StructType(
+    [StructField("state", StringType()), StructField("last_op_id", LongType())]
+)
+
+
+def _kv_fold_dedup(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """KV fold over an at-least-once log: apply each op_id at most once.
+
+    The reference clerk has one outstanding request at a time
+    (kvraft/client.go:59-64), so per key the first deliveries arrive in
+    op_id order and a duplicate always trails its original — tracking the
+    max applied op_id suffices, exactly like the reference server's
+    per-client last-request table. State stays O(1) per key.
+    """
+    if state.exists:
+        current, last_op = state.get
+    else:
+        current, last_op = "", -1
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        allops = pd.concat(frames, ignore_index=True).sort_values("seq")
+        for op_id, op, value in zip(allops["op_id"], allops["op"], allops["value"]):
+            if op_id <= last_op:
+                continue  # duplicate delivery of an already-applied op
+            last_op = op_id
+            if op == "put":
+                current = value
+            elif op == "append":
+                current = current + value
+    state.update((current, last_op))
+    yield pd.DataFrame({"key": [key[0]], "state": [current]})
+
+
+def kv_append_state_dedup(ops: DataFrame) -> DataFrame:
+    """Streaming KV fold with duplicate-request suppression.
+
+    ``ops`` needs columns (seq, op_id, key, op, value); retried deliveries
+    share an op_id and must take effect once (checkClntAppends,
+    kvraft/test_test.go:348).
+    """
+    return ops.groupBy("key").applyInPandasWithState(
+        _kv_fold_dedup,
+        outputStructType=_KV_OUT_SCHEMA,
+        stateStructType=_KV_DEDUP_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

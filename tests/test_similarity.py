@@ -58,3 +58,16 @@ def test_minhash_finds_planted_near_dups(spark):
     assert not missed, f"MinHash-LSH missed planted near-dups: {missed}"
     for p, j in exact.items():
         assert abs(est[p] - j) <= 0.35, (p, est[p], j)
+
+
+def test_brute_near_dup_size_gate_delegates_to_ivf(spark):
+    """Above max_brute_rows the brute path must NOT collect the base table —
+    it delegates to the IVF cell-restricted scan (the scale path)."""
+    from mapreduce_simple_go_spark.operators.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_ivf,
+    )
+
+    gated = embedding_near_dup(spark, SF_DIR, max_brute_rows=1)
+    ivf = embedding_near_dup_ivf(spark, SF_DIR)
+    assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, ivf.collect()))
