@@ -33,15 +33,7 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
-    spark = get_spark(app_name="bench")
-    # warm the JVM (codegen, shuffle machinery, python workers) outside the
-    # timed region so the first query doesn't absorb session startup
-    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).selectExpr(
-        "sum(length(text))"
-    ).collect()
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
     extra = [n for n in sorted(registry) if n not in HEADLINE]
@@ -58,14 +50,42 @@ def main() -> None:
         # operators may cache intermediates (LSH signatures etc.); drop them
         # so one query's working set doesn't pressure the next one's
         spark.catalog.clearCache()
+    return timings
+
+
+def _sf_of(sf_dir: str) -> float:
+    return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    # warm the JVM (codegen, shuffle machinery, python workers) outside the
+    # timed region so the first query doesn't absorb session startup
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).selectExpr(
+        "sum(length(text))"
+    ).collect()
+    timings = run_suite(spark, sf_dir)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": sf,
-    }))
+        "sf": _sf_of(sf_dir),
+    }
+    # Second scale factor: scaling behavior round-over-round (a query whose
+    # sf0.1/sf0.01 ratio blows up has a plan that stopped scaling). Opt-out
+    # via SPARK_GRAFT_BENCH_SECONDARY=""; skipped when it equals the primary.
+    sec_dir = os.environ.get("SPARK_GRAFT_BENCH_SECONDARY", "/root/testdata/sf0.01")
+    if sec_dir and os.path.isdir(sec_dir) and sec_dir.rstrip("/") != sf_dir.rstrip("/"):
+        sec = run_suite(spark, sec_dir)
+        out["secondary"] = {
+            "sf": _sf_of(sec_dir),
+            "value": round(sum(sec.values()), 3),
+            "queries": sec,
+        }
+    print(json.dumps(out))
     spark.stop()
 
 
