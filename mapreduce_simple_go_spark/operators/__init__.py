@@ -9,13 +9,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, events, kv, multimodal, relational, similarity, text, textstats
+from . import (
+    dedup,
+    events,
+    kv,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    text,
+    textstats,
+)
 
 
 def _modules():
     # strict imports: a broken module must fail loudly here, not silently
     # drop its queries from the registry the driver's gate checks
-    return [text, relational, kv, dedup, similarity, textstats, events, multimodal]
+    return [text, relational, kv, dedup, similarity, textstats, events, multimodal, sampling]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

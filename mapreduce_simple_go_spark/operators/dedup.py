@@ -373,3 +373,114 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
 }
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list (src, dst).
+
+    Returns (node, cluster_id) where cluster_id = min node id in the
+    component. Each iteration is one join + one aggregation; labels only
+    ever decrease, so convergence is checked with a cheap sum(label)
+    aggregate instead of a self-join diff. Iterations needed = graph
+    diameter (near-dup clusters are shallow — a handful). localCheckpoint
+    truncates lineage so late iterations don't replan the whole history.
+
+    At 100 TB scale this is the standard iterative-join CC; swapping in
+    large-star/small-star halves the iteration count on deep graphs but
+    the join shape (shuffle on node id) is identical.
+    """
+    sym = edges.select(F.col("src"), F.col("dst")).union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate clusters: connected components over MinHash-LSH pairs.
+
+    The step a real dedup pipeline runs after pair generation — A~B and
+    B~C must collapse into ONE keep-group {A,B,C} even when A~C was never
+    emitted as a pair. cluster_id = min doc_id of the component (the
+    conventional "keep the smallest id" retention rule). Only documents
+    that appear in at least one near-dup pair are emitted; everything else
+    is trivially its own cluster.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE sh AS ({DUCK_DOC_SHINGLES}),
+hashed AS (SELECT doc_id, {duckdb_hash48("shingle")} AS h FROM sh),
+mh AS (
+  SELECT doc_id, perm, MIN((a * h + b) & {(1 << 48) - 1}) AS minhash
+  FROM hashed, (VALUES {_DUCK_COEFFS}) AS coeffs(perm, a, b)
+  GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // {NUM_PERM // LSH_BANDS} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS sig
+  FROM mh GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN mh ma ON ma.doc_id = doc_a
+  JOIN mh mb ON mb.doc_id = doc_b AND ma.perm = mb.perm
+  GROUP BY doc_a, doc_b
+  HAVING SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / {float(NUM_PERM)} >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+QUERIES["dedup_clusters"] = dedup_clusters
+ORACLES["dedup_clusters"] = DEDUP_CLUSTERS_SQL

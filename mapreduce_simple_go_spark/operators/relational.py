@@ -619,3 +619,206 @@ QUERIES["order_price_histogram"] = order_price_histogram
 QUERIES["rolling_7day_revenue"] = rolling_7day_revenue
 ORACLES["order_price_histogram"] = HISTOGRAM_SQL
 ORACLES["rolling_7day_revenue"] = ROLLING_SQL
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: yearly revenue flow between two nation pairs.
+
+    The classic two-dimension-chain join: lineitem is enriched with its
+    supplier's nation (broadcast supplier⋈nation) and its order's
+    customer's nation (orders is the one shuffle join; customer⋈nation
+    broadcast). The disjunctive nation-pair predicate lives in the join
+    output filter — Catalyst pushes the per-side nation IN-lists into the
+    broadcast dimension scans.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    revenue = money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top 20 customers by revenue lost to returns.
+
+    One quarter of orders, lineitems flagged 'R'. orders⋈lineitem shuffles;
+    customer and nation broadcast onto the aggregated (small) side — the
+    aggregation runs BEFORE the dimension joins, so only ~num_customers
+    rows carry through the enrichment.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount"))
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal"),
+            F.col("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name AS nation, c_acctbal, revenue
+FROM (
+  SELECT o_custkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  GROUP BY o_custkey
+) r
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo-type revenue share for one ship month.
+
+    Scalar result from a single broadcast join: part is the build side,
+    the month filter prunes lineitem at the scan. The conditional sum is
+    one pass (no second scan for the numerator).
+    """
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    revenue = money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount"))
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+        .select(F.round(F.col("promo_revenue_pct"), 9).alias("promo_revenue_pct"))
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+     / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 9) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue from three disjunctive brand/size/qty brackets.
+
+    The textbook OR-of-ANDs predicate: expressed as one join filter so
+    Catalyst can factor the common l_partkey equi-condition into a
+    broadcast hash join and evaluate the residual disjunction on joined
+    rows (instead of three separate scans unioned).
+    """
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount"))
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 40))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 60))
+        )
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bracket)
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 60)
+"""
+
+QUERIES["q7_volume_shipping"] = q7_volume_shipping
+QUERIES["q10_returned_items"] = q10_returned_items
+QUERIES["q14_promo_revenue"] = q14_promo_revenue
+QUERIES["q19_bracket_revenue"] = q19_bracket_revenue
+ORACLES["q7_volume_shipping"] = Q7_SQL
+ORACLES["q10_returned_items"] = Q10_SQL
+ORACLES["q14_promo_revenue"] = Q14_SQL
+ORACLES["q19_bracket_revenue"] = Q19_SQL

@@ -1,0 +1,229 @@
+"""Corpus curation operators: rule-based filtering + deterministic sampling.
+
+The training-data pipeline stages that sit between raw ingestion and
+training: drop junk documents (Gopher/C4-style rule filters) and cut
+reproducible subsets (stratified rates per language, fixed-k per stratum).
+Everything is a pure function of document CONTENT — no RNG, no state — so
+results are identical across reruns, partitionings, and cluster sizes, and
+exact duplicates always land on the same side of every cut (no train/test
+leakage from dupes). Same design stance as doc_split_assign
+(textstats.py); the reference's analog is its deterministic sorted output
+contract (/root/reference/src/main/test-mr.sh:90).
+
+All operators are built-in expressions over one documents scan — no
+shuffle at all for the filter/sample paths (the per-stratum top-k shuffles
+once on the stratum key).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import duckdb_hash48, hash48, tokens
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# Rule thresholds (Gopher-flavored, tuned so the synthetic fixture corpus
+# has both passing and failing docs — see tests/test_sampling.py).
+MIN_TOKENS = 20
+MAX_TOKENS = 5000
+MIN_MEAN_WLEN = 2.0
+MAX_MEAN_WLEN = 12.0
+MAX_TOP_SHARE = 0.11  # most frequent token may cover <= 11% of the doc
+MIN_ALPHA_RATIO = 0.7
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document filter with per-rule diagnostics.
+
+    Four Gopher-style rules: token-count bounds, mean word length bounds,
+    repetition ceiling (share of the single most frequent token), and
+    letter-character ratio. Emits every doc with its measurements, the
+    verdict, and a deterministic comma-joined list of failed rules — the
+    shape a pipeline wants for threshold tuning (group by fail_reasons).
+
+    One explode + one groupBy(doc_id) — the repetition rule needs per-term
+    counts; everything else is per-row expressions. At 100 TB the groupBy
+    key is doc_id (uniform), so no skew.
+    """
+    d = _docs(spark, sf_dir)
+    term_stats = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.max("tf").alias("max_tf"),
+            F.sum(F.col("tf") * F.length("term")).alias("n_letters_tok"),
+        )
+    )
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[^\p{L}]", ""))
+        / F.greatest(F.length("text"), F.lit(1)).cast("double"),
+        9,
+    )
+    mean_wlen = F.round(
+        F.col("n_letters_tok") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"), 9
+    )
+    top_share = F.round(
+        F.col("max_tf") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"), 9
+    )
+    scored = (
+        d.select("doc_id", "text")
+        .join(term_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            mean_wlen.alias("mean_word_len"),
+            top_share.alias("top_token_share"),
+            alpha_ratio.alias("alpha_ratio"),
+        )
+    )
+    r_tokens = F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
+    r_wlen = F.col("mean_word_len").between(MIN_MEAN_WLEN, MAX_MEAN_WLEN)
+    r_rep = F.col("top_token_share") <= MAX_TOP_SHARE
+    r_alpha = F.col("alpha_ratio") >= MIN_ALPHA_RATIO
+    return scored.select(
+        "*",
+        (r_tokens & r_wlen & r_rep & r_alpha).alias("passes"),
+        F.concat_ws(
+            ",",
+            F.when(~r_tokens, F.lit("n_tokens")),
+            F.when(~r_wlen, F.lit("mean_word_len")),
+            F.when(~r_rep, F.lit("repetition")),
+            F.when(~r_alpha, F.lit("alpha_ratio")),
+        ).alias("fail_reasons"),
+    )
+
+
+QUALITY_FILTER_SQL = rf"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'), w -> w <> '')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+ts AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, MAX(tf) AS max_tf,
+         SUM(tf * length(term)) AS n_letters_tok
+  FROM tf GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, ts.n_tokens,
+         round(ts.n_letters_tok / CAST(greatest(ts.n_tokens, 1) AS DOUBLE), 9) AS mean_word_len,
+         round(ts.max_tf / CAST(greatest(ts.n_tokens, 1) AS DOUBLE), 9) AS top_token_share,
+         round(length(regexp_replace(d.text, '[^\p{{L}}]', '', 'g'))
+             / CAST(greatest(length(d.text), 1) AS DOUBLE), 9) AS alpha_ratio
+  FROM documents d JOIN ts ON d.doc_id = ts.doc_id
+)
+SELECT doc_id, n_tokens, mean_word_len, top_token_share, alpha_ratio,
+       (n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS})
+       AND (mean_word_len BETWEEN {MIN_MEAN_WLEN} AND {MAX_MEAN_WLEN})
+       AND (top_token_share <= {MAX_TOP_SHARE})
+       AND (alpha_ratio >= {MIN_ALPHA_RATIO}) AS passes,
+       concat_ws(',',
+         CASE WHEN NOT (n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}) THEN 'n_tokens' END,
+         CASE WHEN NOT (mean_word_len BETWEEN {MIN_MEAN_WLEN} AND {MAX_MEAN_WLEN}) THEN 'mean_word_len' END,
+         CASE WHEN NOT (top_token_share <= {MAX_TOP_SHARE}) THEN 'repetition' END,
+         CASE WHEN NOT (alpha_ratio >= {MIN_ALPHA_RATIO}) THEN 'alpha_ratio' END) AS fail_reasons
+FROM scored
+"""
+
+
+# per-language keep rates for the stratified sample (en-heavy corpus gets
+# downsampled less; the map is the pipeline's knob)
+STRATA_RATES = {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.25, "zh": 0.25}
+_RATE_CASE_SPARK = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items()
+) + " ELSE 0.1 END"
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language subsample at configured rates.
+
+    keep <=> hash48(md5('sample:' || text)) % 10000 < rate * 10000. The
+    salt decorrelates this cut from doc_split_assign's (which hashes bare
+    text) — independent deterministic draws need independent hashes. Pure
+    map-side: filter folds into the parquet scan, zero shuffle.
+    """
+    d = _docs(spark, sf_dir)
+    bucket = hash48(F.md5(F.concat(F.lit("sample:"), F.col("text")))) % 10000
+    rate = F.expr(_RATE_CASE_SPARK)
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate * 10000)
+        .select("doc_id", "lang", "source")
+    )
+
+
+_RATE_CASE_DUCK = _RATE_CASE_SPARK  # identical ANSI CASE syntax
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         {duckdb_hash48("md5('sample:' || text)")} % 10000 AS bucket,
+         {_RATE_CASE_DUCK} AS rate
+  FROM documents
+)
+WHERE bucket < rate * 10000
+"""
+
+
+SAMPLE_K = 5
+
+
+def sample_per_stratum(spark: SparkSession, sf_dir: str, k: int = SAMPLE_K) -> DataFrame:
+    """Fixed-k deterministic sample per language: the k docs with the
+    smallest content hashes.
+
+    The distributed analog of per-stratum reservoir sampling with a
+    content-keyed "random" order — rerun-stable and independent of row
+    order. One shuffle on the stratum key; per-partition top-k would be the
+    optimization at extreme stratum cardinality (rank window is fine for
+    per-language strata).
+    """
+    d = _docs(spark, sf_dir)
+    h = hash48(F.md5(F.concat(F.lit("reservoir:"), F.col("text"))))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        d.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SAMPLE_PER_STRATUM_SQL = f"""
+SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {duckdb_hash48("md5('reservoir:' || text)")}, doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {SAMPLE_K}
+"""
+
+
+QUERIES = {
+    "quality_filter": quality_filter,
+    "stratified_sample": stratified_sample,
+    "sample_per_stratum": sample_per_stratum,
+}
+
+ORACLES = {
+    "quality_filter": QUALITY_FILTER_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "sample_per_stratum": SAMPLE_PER_STRATUM_SQL,
+}

@@ -164,6 +164,21 @@ def kv_append_state_dedup(ops: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first delivery per event_id survives.
+
+    The streaming twin of the batch first-win dedup (operators.kv.
+    dedup_first_win): an at-least-once ingest pipeline re-delivers events,
+    and downstream counts must not double. dropDuplicatesWithinWatermark
+    bounds the dedup state by event time — an event_id older than the
+    watermark can no longer be re-delivered, so its key is evicted; plain
+    dropDuplicates would hold every id forever (unbounded state at 100 TB).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str) -> None:
     """Drain a bounded stream into an in-memory table named ``query_name``."""
     q = (

@@ -1,0 +1,88 @@
+"""Curation-operator behavior: quality filter, deterministic samples,
+near-dup clustering.
+
+Oracle parity is covered by test_oracle_parity; these tests pin the
+semantic properties the oracles can't express — verdict mix, rate accuracy,
+rerun/partitioning stability, transitive cluster closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_simple_go_spark.operators.sampling import (
+    SAMPLE_K,
+    STRATA_RATES,
+    quality_filter,
+    sample_per_stratum,
+    stratified_sample,
+)
+
+from .conftest import SF_DIR
+
+
+def test_quality_filter_mixed_verdicts(spark):
+    rows = quality_filter(spark, SF_DIR).collect()
+    passed = [r for r in rows if r.passes]
+    failed = [r for r in rows if not r.passes]
+    assert passed and failed, "thresholds must split the fixture corpus"
+    assert all(r.fail_reasons == "" for r in passed)
+    assert all(r.fail_reasons != "" for r in failed)
+    # reasons are drawn from the documented rule names
+    names = {"n_tokens", "mean_word_len", "repetition", "alpha_ratio"}
+    for r in failed:
+        assert set(r.fail_reasons.split(",")) <= names
+
+
+def test_stratified_sample_hits_configured_rates(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    totals = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    kept = {
+        r.lang: r["count"]
+        for r in stratified_sample(spark, SF_DIR).groupBy("lang").count().collect()
+    }
+    for lang, rate in STRATA_RATES.items():
+        if totals.get(lang, 0) < 20:
+            continue
+        got = kept.get(lang, 0) / totals[lang]
+        assert abs(got - rate) < 0.15, f"{lang}: rate {got:.2f} vs configured {rate}"
+
+
+def test_sample_per_stratum_fixed_k_and_rerun_stable(spark):
+    s1 = sorted(map(tuple, sample_per_stratum(spark, SF_DIR).collect()))
+    s2 = sorted(map(tuple, sample_per_stratum(spark, SF_DIR).collect()))
+    assert s1 == s2
+    per_lang: dict[str, int] = {}
+    for _, lang, rk in s1:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+        assert 1 <= rk <= SAMPLE_K
+    assert all(n == SAMPLE_K for n in per_lang.values())
+
+
+def test_connected_components_transitive_closure(spark):
+    """A~B and B~C must land in one cluster even without an A~C edge;
+    disconnected components stay separate."""
+    from mapreduce_simple_go_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src long, dst long",
+    )
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_clusters_cover_all_paired_docs(spark):
+    from mapreduce_simple_go_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, SF_DIR).collect()
+    clustered = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, SF_DIR).collect()}
+    for p in pairs:
+        assert p.doc_a in clustered and p.doc_b in clustered
+        assert clustered[p.doc_a] == clustered[p.doc_b], (
+            "paired docs must share a cluster"
+        )
+        assert clustered[p.doc_a] <= min(p.doc_a, p.doc_b)

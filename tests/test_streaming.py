@@ -210,3 +210,34 @@ def test_kv_state_survives_multiple_microbatches(spark, tmp_path):
     total = spark.sql("SELECT count(*) FROM kv_multi_mem").first()[0]
     n_keys = spark.sql("SELECT count(DISTINCT key) FROM kv_multi_mem").first()[0]
     assert total > n_keys, f"expected multi-batch emissions, got {total} rows for {n_keys} keys"
+
+
+def test_streaming_dedup_first_delivery_wins(spark, tmp_path):
+    """At-least-once delivery: re-delivered event_ids must count once —
+    dropDuplicatesWithinWatermark bounds the state by event time."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.sources import load_events
+    from mapreduce_simple_go_spark.streaming import dedup_events_stream
+
+    ev = load_events(spark, SF_DIR)
+    dup = ev.filter(F.col("event_id") % 5 == 0)  # re-deliver every 5th
+    log = ev.unionByName(dup)
+    src = tmp_path / "src"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    log.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    shutil.copy(stage / pfile, src / "drop0.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    run_available_now(
+        dedup_events_stream(stream).select("event_id"), "dedup_mem", "append"
+    )
+    got = spark.sql("SELECT count(*) c, count(DISTINCT event_id) d FROM dedup_mem").first()
+    want = ev.select("event_id").distinct().count()
+    assert got.c == got.d == want
