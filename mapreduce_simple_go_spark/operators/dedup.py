@@ -389,7 +389,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     large-star/small-star halves the iteration count on deep graphs but
     the join shape (shuffle on node id) is identical.
     """
-    sym = edges.select(F.col("src"), F.col("dst")).union(
+    # materialize the edge list ONCE before the symmetric union — otherwise
+    # both union branches re-evaluate the (expensive) upstream pair
+    # pipeline
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sym = sym.distinct().localCheckpoint(eager=True)

@@ -227,3 +227,70 @@ ORACLES = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "sample_per_stratum": SAMPLE_PER_STRATUM_SQL,
 }
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gate -> exact-dedup -> split.
+
+    The composed training-data path, in one declarative plan so Catalyst
+    shares the documents scan across stages:
+
+    1. keep docs passing :func:`quality_filter`'s rules;
+    2. keep ONE representative per exact-duplicate group (min doc_id per
+       md5(text) — the dedup_exact retention rule);
+    3. assign the survivor its deterministic train/val/test split (same
+       hash split as textstats.doc_split_assign).
+
+    Output = the final corpus manifest (doc_id, lang, source, split).
+    Stage order matters at scale: the quality filter is a cheap map that
+    shrinks the corpus BEFORE the dedup shuffle pays for it.
+    """
+    q = quality_filter(spark, sf_dir).filter(F.col("passes")).select("doc_id")
+    d = _docs(spark, sf_dir).join(q, "doc_id")
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    h = hash48(F.md5(F.col("text"))) % 100
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    return (
+        d.withColumn("digest", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", split.alias("split"))
+    )
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), w -> w <> '')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+ts AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, MAX(tf) AS max_tf,
+         SUM(tf * length(term)) AS n_letters_tok
+  FROM tf GROUP BY doc_id
+),
+passing AS (
+  SELECT d.doc_id, d.text, d.lang, d.source
+  FROM documents d JOIN ts ON d.doc_id = ts.doc_id
+  WHERE (ts.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS})
+    AND (round(ts.n_letters_tok / CAST(greatest(ts.n_tokens, 1) AS DOUBLE), 9)
+         BETWEEN {MIN_MEAN_WLEN} AND {MAX_MEAN_WLEN})
+    AND (round(ts.max_tf / CAST(greatest(ts.n_tokens, 1) AS DOUBLE), 9) <= {MAX_TOP_SHARE})
+    AND (round(length(regexp_replace(d.text, '[^\\p{{L}}]', '', 'g'))
+         / CAST(greatest(length(d.text), 1) AS DOUBLE), 9) >= {MIN_ALPHA_RATIO})
+),
+reps AS (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM passing
+  ) WHERE rn = 1
+)
+SELECT doc_id, lang, source,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, lang, source, {duckdb_hash48("md5(text)")} % 100 AS b FROM reps)
+"""
+
+QUERIES["curation_pipeline"] = curation_pipeline
+ORACLES["curation_pipeline"] = CURATION_PIPELINE_SQL
