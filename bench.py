@@ -60,10 +60,14 @@ def _sf_of(sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
-    # warm the JVM (codegen, shuffle machinery, python workers) outside the
-    # timed region so the first query doesn't absorb session startup
+    # warm the JVM (codegen, shuffle machinery) AND the Python worker daemon
+    # outside the timed region so the first query — and the first
+    # mapInPandas query — don't absorb session/daemon startup
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).selectExpr(
         "sum(length(text))"
+    ).collect()
+    spark.range(32).mapInPandas(
+        lambda it: it, schema="id long"
     ).collect()
     timings = run_suite(spark, sf_dir)
     total = round(sum(timings.values()), 3)

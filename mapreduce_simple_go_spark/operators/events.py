@@ -280,3 +280,78 @@ JOIN events p
 
 QUERIES["purchase_within_hour_of_click"] = purchase_within_hour_of_click
 ORACLES["purchase_within_hour_of_click"] = PURCHASE_AFTER_CLICK_SQL
+
+
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup -> first click after -> first
+    purchase after that click, counted in users per stage.
+
+    Event-order analytics in ONE pass over events: the per-user conditional
+    mins (min signup ts; min click ts after it; min purchase ts after that)
+    are computed with min(when(...)) aggregates over a single groupBy —
+    Spark evaluates the three stages via two chained conditional
+    aggregations rather than three self-joins, so the events table shuffles
+    once on user_id. Stage rows come from a tiny post-aggregation unpivot.
+    """
+    ev = load_events(spark, sf_dir)
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(t1.alias("t1"))
+    with_t1 = ev.join(per_user, "user_id")
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts")
+        )
+    )
+    per_user2 = with_t1.groupBy("user_id").agg(F.first("t1").alias("t1"), t2.alias("t2"))
+    with_t2 = ev.join(per_user2, "user_id")
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    )
+    final = with_t2.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), t3.alias("t3")
+    )
+    counts = final.agg(
+        F.count(F.col("t1")).alias("signup"),
+        F.count(F.col("t2")).alias("click_after_signup"),
+        F.count(F.col("t3")).alias("purchase_after_click"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'signup', signup, 'click_after_signup', click_after_signup, "
+        "'purchase_after_click', purchase_after_click) AS (stage, n_users)"
+    )
+
+
+FUNNEL_SQL = """
+WITH u1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id, u1.t1,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > u1.t1 THEN e.ts END) AS t2
+  FROM events e JOIN u1 ON e.user_id = u1.user_id
+  GROUP BY e.user_id, u1.t1
+),
+u3 AS (
+  SELECT e.user_id, u2.t1, u2.t2,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > u2.t2 THEN e.ts END) AS t3
+  FROM events e JOIN u2 ON e.user_id = u2.user_id
+  GROUP BY e.user_id, u2.t1, u2.t2
+),
+c AS (
+  SELECT COUNT(t1) AS signup, COUNT(t2) AS click_after_signup,
+         COUNT(t3) AS purchase_after_click
+  FROM u3
+)
+SELECT 'signup' AS stage, signup AS n_users FROM c
+UNION ALL
+SELECT 'click_after_signup', click_after_signup FROM c
+UNION ALL
+SELECT 'purchase_after_click', purchase_after_click FROM c
+"""
+
+QUERIES["funnel_signup_click_purchase"] = funnel_signup_click_purchase
+ORACLES["funnel_signup_click_purchase"] = FUNNEL_SQL

@@ -437,3 +437,61 @@ QUALIFY rank <= 50
 
 QUERIES["word_cooccurrence_pmi"] = word_cooccurrence_pmi
 ORACLES["word_cooccurrence_pmi"] = PMI_SQL
+
+
+NGRAM_TOP = 20
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str, n: int = 2, k: int = NGRAM_TOP) -> DataFrame:
+    """Top-k corpus n-grams by OCCURRENCE count (language-model-style counts).
+
+    Companion to word_cooccurrence_pmi (frequency, not association; sliding
+    window, not whole-doc events). posexplode + window lead keeps shingling
+    in whole-stage codegen (the per-document HOF transform runs interpreted
+    — measured on the MinHash pipeline); one partial-aggregated shuffle on
+    the n-gram; top-k via TakeOrderedAndProject, never a global window.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = (
+        toks.select(
+            F.concat_ws(" ", *parts).alias("ngram"),
+            F.lead("tok", n - 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("ngram")
+    )
+    top = (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+    rk = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return top.withColumn("rank", F.row_number().over(rk))
+
+
+NGRAM_COUNTS_SQL = rf"""
+WITH grams AS (
+  SELECT unnest([array_to_string(t[i:i+1], ' ')
+                 for i in range(1, len(t) - 1 + 1)]) AS ngram
+  FROM (SELECT list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'), w -> w <> '') AS t
+        FROM documents)
+  WHERE len(t) >= 2
+),
+counted AS (
+  SELECT ngram, COUNT(*) AS n_occurrences FROM grams GROUP BY ngram
+)
+SELECT ngram, n_occurrences,
+       ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram ASC) AS rank
+FROM counted
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT {NGRAM_TOP}
+"""
+
+QUERIES["ngram_counts"] = ngram_counts
+ORACLES["ngram_counts"] = NGRAM_COUNTS_SQL
