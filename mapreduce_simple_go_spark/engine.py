@@ -106,3 +106,21 @@ class Engine:
         df.select(
             F.concat_ws(" ", F.col(cols[0]).cast("string"), F.col(cols[1]).cast("string"))
         ).write.mode("overwrite").text(path)
+
+    def save_jsonl_kv(self, df: DataFrame, path: str) -> None:
+        """JSON-lines KV sink — the reference's INTERMEDIATE data format
+        (worker.go:82-100 writes `{"Key":...,"Value":...}` lines per
+        partition), exposed as a user-facing sink. One file per partition,
+        same atomic-commit visibility as the text sink.
+        """
+        cols = df.columns
+        df.select(
+            F.col(cols[0]).cast("string").alias("Key"),
+            F.col(cols[1]).cast("string").alias("Value"),
+        ).write.mode("overwrite").json(path)
+
+    def load_jsonl_kv(self, path: str) -> DataFrame:
+        """Read a JSON-lines KV directory back into (key, value) rows."""
+        return self.spark.read.schema("Key string, Value string").json(path).select(
+            F.col("Key").alias("key"), F.col("Value").alias("value")
+        )

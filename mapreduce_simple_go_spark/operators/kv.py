@@ -254,3 +254,37 @@ ORACLES = {
     "kv_get_visible": KV_GET_VISIBLE_SQL,
     "kv_final_state_dedup": KV_FINAL_STATE_DEDUP_SQL,
 }
+
+
+def kv_shard_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: the reference's key2shard placement, as an observable query.
+
+    shard = int(key[0]) % NShards (first-byte hash,
+    /root/reference/src/shardkv/client.go:22-29; NShards=10,
+    shardctrler/common.go:21). Emits per-shard load — distinct keys and op
+    count — the skew profile a shard controller balances. One
+    partial-aggregated shuffle on the (10-value) shard key.
+    """
+    ops = kv_ops(spark, sf_dir)
+    shard = F.ascii(F.substring(F.col("key"), 1, 1)) % 10
+    return (
+        ops.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count_distinct("key").alias("n_keys"),
+            F.count("*").alias("n_ops"),
+        )
+    )
+
+
+KV_SHARD_SQL = f"""
+WITH ops AS ({KV_OPS_DUCK})
+SELECT ascii(substr(key, 1, 1)) % 10 AS shard,
+       COUNT(DISTINCT key) AS n_keys,
+       COUNT(*) AS n_ops
+FROM ops
+GROUP BY 1
+"""
+
+QUERIES["kv_shard_distribution"] = kv_shard_distribution
+ORACLES["kv_shard_distribution"] = KV_SHARD_SQL

@@ -822,3 +822,32 @@ ORACLES["q7_volume_shipping"] = Q7_SQL
 ORACLES["q10_returned_items"] = Q10_SQL
 ORACLES["q14_promo_revenue"] = Q14_SQL
 ORACLES["q19_bracket_revenue"] = Q19_SQL
+
+
+def supplier_balance_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows: percent_rank + cume_dist of each
+    supplier's account balance within its nation.
+
+    Covers the remaining rank-family window functions; one shuffle on the
+    partition key (nationkey), rank state O(1) per row.
+    """
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+SUPPLIER_BALANCE_DIST_SQL = """
+SELECT s_suppkey,
+       CAST(s_nationkey AS INTEGER) AS nationkey,
+       round(percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey), 9) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey), 9) AS cume
+FROM supplier
+"""
+
+QUERIES["supplier_balance_dist"] = supplier_balance_dist
+ORACLES["supplier_balance_dist"] = SUPPLIER_BALANCE_DIST_SQL

@@ -495,3 +495,46 @@ WHERE {duck_cosine('x.embedding', 'y.embedding')} >= 0.45
 
 QUERIES["embedding_near_dup_ivf"] = embedding_near_dup_ivf
 ORACLES["embedding_near_dup_ivf"] = EMB_NEAR_DUP_IVF_SQL
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding hygiene stats: count, mean/min/max L2 norm.
+
+    The sanity pass a pipeline runs before similarity search (unnormalized
+    or zero vectors poison cosine indexes). Norms via the sequential
+    higher-order aggregate (oracle-exact); one partial-aggregated shuffle
+    on the (tiny-cardinality) label key.
+    """
+    e = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        e.select(F.col("label"), norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("norm"), 6).alias("mean_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+EMB_NORM_STATS_SQL = f"""
+WITH n AS (
+  SELECT label, {_DUCK_NORM.format(a='embedding')} AS norm FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       round(AVG(norm), 6) AS mean_norm,
+       round(MIN(norm), 6) AS min_norm,
+       round(MAX(norm), 6) AS max_norm
+FROM n GROUP BY label
+"""
+
+QUERIES["embedding_norm_stats"] = embedding_norm_stats
+ORACLES["embedding_norm_stats"] = EMB_NORM_STATS_SQL

@@ -71,3 +71,20 @@ def test_csv_json_text_roundtrip(spark, tmp_path):
         F.concat_ws(" ", *[F.col(c).cast("string") for c in base.columns])
     ).write.text(text_path)
     assert spark.read.text(text_path).count() == base.count()
+
+
+def test_jsonl_kv_sink_roundtrip(spark, tmp_path):
+    """The reference's JSON-lines intermediate format (worker.go:82-100) as
+    a user sink: write -> read back must be lossless, including spaces and
+    unicode in values (which the 'k v' text sink cannot represent)."""
+    from mapreduce_simple_go_spark.engine import Engine
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [("a", "1"), ("b w space", "v w space"), ("ü", "héllo"), ("e", "")],
+        "key string, value string",
+    )
+    out = str(tmp_path / "jsonl")
+    eng.save_jsonl_kv(df, out)
+    back = sorted(map(tuple, eng.load_jsonl_kv(out).collect()))
+    assert back == sorted(map(tuple, df.collect()))
