@@ -375,24 +375,61 @@ ORACLES = {
 }
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Min-label propagation over an undirected edge list (src, dst).
+MAX_DRIVER_EDGES = 100_000  # a candidate graph this small is union-found on
+# the driver in one collect (few MB); the iterative-join path is the scale
+# route for bigger graphs
 
-    Returns (node, cluster_id) where cluster_id = min node id in the
-    component. Each iteration is one join + one aggregation; labels only
-    ever decrease, so convergence is checked with a cheap sum(label)
-    aggregate instead of a self-join diff. Iterations needed = graph
-    diameter (near-dup clusters are shallow — a handful). localCheckpoint
-    truncates lineage so late iterations don't replan the whole history.
 
-    At 100 TB scale this is the standard iterative-join CC; swapping in
-    large-star/small-star halves the iteration count on deep graphs but
-    the join shape (shuffle on node id) is identical.
+def _union_find_labels(pairs) -> dict[int, int]:
+    """Driver-side union-find; label = min node id per component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, driver_threshold: int = MAX_DRIVER_EDGES
+) -> DataFrame:
+    """Connected components over an undirected edge list (src, dst).
+
+    Returns (node, cluster_id=min node id in the component). Tiered like
+    the near-dup scorers: the candidate graph is usually MUCH smaller than
+    the corpus, so up to ``driver_threshold`` edges it is union-found on
+    the driver in one collect (one job instead of ~10 tiny iteration jobs).
+    Beyond that, distributed min-label propagation: per iteration one join
+    + one aggregation; labels only ever decrease, so convergence is checked
+    with a cheap sum(label) aggregate; localCheckpoint truncates iteration
+    lineage. Iterations needed = component diameter (near-dup clusters are
+    shallow). Swapping in large-star/small-star halves iterations on deep
+    graphs — same join shape.
+
+    Both paths produce identical output (asserted in tests/test_sampling.py).
     """
-    # materialize the edge list ONCE before the symmetric union — otherwise
-    # both union branches re-evaluate the (expensive) upstream pair
-    # pipeline
+    # materialize the edge list ONCE — the symmetric union below would
+    # otherwise re-evaluate the (expensive) upstream pair pipeline twice
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    if edges.count() <= driver_threshold:
+        spark = edges.sparkSession
+        labels = _union_find_labels(
+            (r.src, r.dst) for r in edges.collect()
+        )
+        return spark.createDataFrame(
+            sorted(labels.items()), schema="node long, label long"
+        )
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -851,3 +851,36 @@ FROM supplier
 
 QUERIES["supplier_balance_dist"] = supplier_balance_dist
 ORACLES["supplier_balance_dist"] = SUPPLIER_BALANCE_DIST_SQL
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    revenue by (status, priority), by status alone, and grand total, in one
+    pass — map-side expansion x3 + one partial-aggregated shuffle instead
+    of three scans unioned.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+QUERIES["grouping_sets_revenue"] = grouping_sets_revenue
+ORACLES["grouping_sets_revenue"] = GROUPING_SETS_SQL

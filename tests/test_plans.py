@@ -71,3 +71,57 @@ def test_inverted_index_single_shuffle(spark):
 
     # collect_set dedups in the partial aggregate: one Exchange total
     assert count_operator(inverted_index(spark, SF_DIR), "Exchange") == 1
+
+
+def test_q7_dimensions_broadcast_one_fact_shuffle_join(spark):
+    """q7's only shuffle join may be lineitem ⋈ orders; supplier, customer,
+    and both nation aliases must broadcast."""
+    from mapreduce_simple_go_spark.operators.relational import q7_volume_shipping
+
+    plan = formatted_plan(q7_volume_shipping(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q10_aggregates_before_dimension_join(spark):
+    """The revenue aggregation must run BEFORE the customer/nation joins —
+    only per-customer rows carry through the enrichment."""
+    from mapreduce_simple_go_spark.operators.relational import q10_returned_items
+
+    plan = formatted_plan(q10_returned_items(spark, SF_DIR))
+    agg_pos = plan.find("HashAggregate")
+    bhj_pos = plan.find("BroadcastHashJoin")
+    assert agg_pos != -1 and bhj_pos != -1
+    # formatted plans print top-down: the broadcast join consumes the
+    # aggregate, so the aggregate appears BELOW (after) it in the text
+    assert bhj_pos < agg_pos
+
+
+def test_ngram_counts_uses_take_ordered(spark):
+    from mapreduce_simple_go_spark.operators.textstats import ngram_counts
+
+    plan = formatted_plan(ngram_counts(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_uses_take_ordered_not_global_window_sort(spark):
+    from mapreduce_simple_go_spark.operators.textstats import word_cooccurrence_pmi
+
+    plan = formatted_plan(word_cooccurrence_pmi(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_is_scan_side_zero_shuffle(spark):
+    from mapreduce_simple_go_spark.operators.sampling import stratified_sample
+
+    assert count_operator(stratified_sample(spark, SF_DIR), "Exchange") == 0
+
+
+def test_q19_factors_equi_join_from_disjunction(spark):
+    """The OR-of-ANDs predicate must not force a nested-loop join — the
+    common l_partkey condition factors into a broadcast hash join."""
+    from mapreduce_simple_go_spark.operators.relational import q19_bracket_revenue
+
+    plan = formatted_plan(q19_bracket_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

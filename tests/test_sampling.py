@@ -61,15 +61,23 @@ def test_sample_per_stratum_fixed_k_and_rerun_stable(spark):
 
 def test_connected_components_transitive_closure(spark):
     """A~B and B~C must land in one cluster even without an A~C edge;
-    disconnected components stay separate."""
+    disconnected components stay separate — on BOTH the driver union-find
+    path and the distributed label-propagation path (forced via
+    driver_threshold=0), which must agree exactly."""
     from mapreduce_simple_go_spark.operators.dedup import connected_components
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         "src long, dst long",
     )
-    got = {r.node: r.label for r in connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+    got_driver = {r.node: r.label for r in connected_components(edges).collect()}
+    got_dist = {
+        r.node: r.label
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
 
 
 def test_dedup_clusters_cover_all_paired_docs(spark):

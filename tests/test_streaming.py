@@ -241,3 +241,76 @@ def test_streaming_dedup_first_delivery_wins(spark, tmp_path):
     got = spark.sql("SELECT count(*) c, count(DISTINCT event_id) d FROM dedup_mem").first()
     want = ev.select("event_id").distinct().count()
     assert got.c == got.d == want
+
+
+def test_watermark_drops_data_later_than_allowance(spark, tmp_path):
+    """Late-data contract (pinned empirically): a window keeps accepting
+    late rows until the watermark EVICTS it; after eviction, late arrivals
+    for that window are dropped (numRowsDroppedByWatermark) and the emitted
+    result never changes. Three file drops processed as three micro-batches:
+    b0 raises max event time to 06:00 (watermark 04:00 from the next batch
+    on); b1's processing evicts + emits hour 00:00; b2 delivers a too-late
+    row for hour 00:00 — it must be dropped, not spawn a duplicate window."""
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.streaming import hourly_counts
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def drop(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(pdf).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(stage / pfile, src / f"{name}.parquet")
+
+    drop(
+        "b0",
+        [
+            (1, "2024-01-01 00:30:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 06:00:00", 1, "click", 1.0, "{}"),
+        ],
+    )
+    drop("b1", [(5, "2024-01-01 06:10:00", 1, "click", 1.0, "{}")])
+    drop(
+        "b2",
+        [
+            (3, "2024-01-01 00:45:00", 1, "click", 1.0, "{}"),  # too late
+            (4, "2024-01-01 05:30:00", 1, "click", 1.0, "{}"),  # in allowance
+        ],
+    )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        hourly_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1, "the too-late row must be dropped by the watermark"
+    got = [
+        (r.hour.isoformat(), r.n_events)
+        for r in spark.sql("SELECT * FROM late_mem").collect()
+    ]
+    # exactly one emission for hour 00:00, with only the on-time event
+    assert got == [("2024-01-01T00:00:00", 1)]
