@@ -884,3 +884,41 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 
 QUERIES["grouping_sets_revenue"] = grouping_sets_revenue
 ORACLES["grouping_sets_revenue"] = GROUPING_SETS_SQL
+
+
+def sketch_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch coverage: HLL++ approx_count_distinct vs exact, with
+    a 5% accuracy gate the oracle asserts must hold.
+
+    At 100 TB exact count-distinct shuffles every distinct key; the HLL
+    sketch is a few KB per group and merges associatively (the partial-agg
+    shape). The oracle cannot reproduce Spark's HLL value, so the CONTRACT
+    is oracle-checked instead: exact counts match, and the boolean
+    within-5% gate must be TRUE — if Spark's sketch ever drifts past the
+    configured rsd, the value-hash comparison fails the row.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    )
+    return per_status.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("approx") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("within_5pct"),
+    )
+
+
+SKETCH_DISTINCT_SQL = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS within_5pct
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+QUERIES["sketch_distinct_accuracy"] = sketch_distinct_accuracy
+ORACLES["sketch_distinct_accuracy"] = SKETCH_DISTINCT_SQL
