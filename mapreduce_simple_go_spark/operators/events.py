@@ -355,3 +355,49 @@ SELECT 'purchase_after_click', purchase_after_click FROM c
 
 QUERIES["funnel_signup_click_purchase"] = funnel_signup_click_purchase
 ORACLES["funnel_signup_click_purchase"] = FUNNEL_SQL
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str, max_weeks: int = 3) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted as retained in each following week they act again.
+
+    The canonical product-analytics matrix. Two aggregations over one
+    events scan: per-user first week (groupBy user), then distinct
+    (user, week) activity joined back to its cohort — the join key is
+    user_id, the same partitioning both aggregates already use, so AQE
+    plans one co-partitioned exchange chain, no re-shuffle.
+    """
+    ev = load_events(spark, sf_dir)
+    week = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("wk")).distinct()
+    return (
+        activity.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .filter(F.col("week_offset") <= max_weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first f ON a.user_id = f.user_id
+WHERE date_diff('day', f.cohort_week, a.wk) / 7 <= 3
+GROUP BY 1, 2
+"""
+
+QUERIES["retention_cohorts"] = retention_cohorts
+ORACLES["retention_cohorts"] = RETENTION_SQL

@@ -922,3 +922,127 @@ GROUP BY o_orderstatus
 
 QUERIES["sketch_distinct_accuracy"] = sketch_distinct_accuracy
 ORACLES["sketch_distinct_accuracy"] = SKETCH_DISTINCT_SQL
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from orders of a brand's parts at quantities
+    below 20% of that part's average.
+
+    The correlated scalar subquery (per-part avg quantity) becomes an
+    aggregate + self-join: one extra partial-aggregated pass over lineitem
+    keyed by partkey, broadcast back against the filtered brand subset.
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(money(F.col("l_extendedprice"))) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+        .select(F.round(F.col("avg_yearly"), 6).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT round(CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM lineitem l1
+JOIN part ON l1.l_partkey = p_partkey
+WHERE p_brand = 'Brand#5'
+  AND l1.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+  )
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: customers whose single orders exceed 200 total units.
+
+    HAVING-subquery shape: aggregate lineitem by order, filter on the sum,
+    then semi-join enrich. The order-level aggregate is the only big
+    shuffle; customers broadcast onto the (tiny) qualifying set.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money(F.col("l_quantity"))).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey"),
+            "o_orderdate",
+            F.col("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 200
+) b
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: positive-balance customers who never ordered,
+    bucketed by nation, vs the above-average-balance threshold.
+
+    Two subquery shapes in one plan: an uncorrelated scalar aggregate
+    (average positive balance — a 1-row broadcast cross join) and an
+    anti-join (customers with no orders). No shuffle of customer twice:
+    the anti-join probes the orders custkey set.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("bal_cut")
+    )
+    never = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        never.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("bal_cut"))
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntry_grp"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(money(F.col("c_acctbal"))).cast("double").alias("total_bal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntry_grp,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+QUERIES["q17_small_quantity_revenue"] = q17_small_quantity_revenue
+QUERIES["q18_large_volume_customers"] = q18_large_volume_customers
+QUERIES["q22_global_sales_opportunity"] = q22_global_sales_opportunity
+ORACLES["q17_small_quantity_revenue"] = Q17_SQL
+ORACLES["q18_large_volume_customers"] = Q18_SQL
+ORACLES["q22_global_sales_opportunity"] = Q22_SQL

@@ -25,8 +25,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions import cosine_similarity
-
 TOP_K = 5
 QUERY_MOD = 100   # vec_id % QUERY_MOD == 0 -> query vector
 CENTROID_MOD = 25  # vec_id % CENTROID_MOD == 0 -> coarse centroid
@@ -69,14 +67,6 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBED_DIM = 64  # fixture embedding dimensionality; asserted in tests
 
 
-def _cos(a, b):
-    # The higher-order-function form beats the unrolled-expression form for
-    # these moderate pair counts: whole-stage codegen of a 192-term
-    # expression costs seconds to compile per stage, more than interpreting
-    # the compact aggregate over the actual rows (measured both).
-    return F.round(cosine_similarity(a, b), 9)
-
-
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (brute force).
 
@@ -88,13 +78,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    scored = (
-        base.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            _cos(F.col("q_emb"), F.col("embedding")).alias("cosine"),
-        )
+    pairs = base.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = _score_pairs_np(pairs, "q_emb", "embedding", ["query_id", "vec_id"]).select(
+        "query_id", "vec_id", F.round(F.col("raw"), 9).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -88,3 +88,37 @@ def test_jsonl_kv_sink_roundtrip(spark, tmp_path):
     eng.save_jsonl_kv(df, out)
     back = sorted(map(tuple, eng.load_jsonl_kv(out).collect()))
     assert back == sorted(map(tuple, df.collect()))
+
+
+def test_json_source_corrupt_record_handling(spark, tmp_path):
+    """Dirty-input contract at ingest: PERMISSIVE mode quarantines malformed
+    lines into _corrupt_record (the 100 TB posture — never fail a scan for
+    one bad row); FAILFAST surfaces them as errors for strict pipelines."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    src = tmp_path / "dirty.jsonl"
+    src.write_text(
+        '{"Key": "a", "Value": "1"}\n'
+        "this is not json\n"
+        '{"Key": "b", "Value": "2"}\n'
+    )
+    df = (
+        spark.read.schema("Key string, Value string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(src))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert sorted((r.Key, r.Value) for r in good) == [("a", "1"), ("b", "2")]
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+    strict = (
+        spark.read.schema("Key string, Value string")
+        .option("mode", "FAILFAST")
+        .json(str(src))
+    )
+    with pytest.raises(Py4JJavaError):
+        strict.collect()
