@@ -1046,3 +1046,40 @@ QUERIES["q22_global_sales_opportunity"] = q22_global_sales_opportunity
 ORACLES["q17_small_quantity_revenue"] = Q17_SQL
 ORACLES["q18_large_volume_customers"] = Q18_SQL
 ORACLES["q22_global_sales_opportunity"] = Q22_SQL
+
+
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tooling in the oracle-checked registry: revenue per market
+    segment computed through ``functions.salted_join``.
+
+    Market segment is a 5-value key — the textbook skew shape when joined
+    directly. The salted join spreads each hot key across 8 sub-keys
+    (content-derived salt, replicated right side); salting is invisible in
+    the RESULT, so the oracle is the plain join — exactly the property that
+    makes the tool safe to drop into a pipeline.
+    """
+    from ..functions import salted_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    seg = cust.select(F.col("c_mktsegment").alias("segment")).distinct()
+    by_seg = cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "o_totalprice"
+    )
+    joined = salted_join(by_seg, seg, "segment", n_salt=8, how="inner")
+    return joined.groupBy("segment").agg(
+        F.sum(money(F.col("o_totalprice"))).cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+SALTED_SEGMENT_SQL = """
+SELECT c_mktsegment AS segment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+QUERIES["salted_segment_revenue"] = salted_segment_revenue
+ORACLES["salted_segment_revenue"] = SALTED_SEGMENT_SQL
