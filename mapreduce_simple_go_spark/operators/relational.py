@@ -1083,3 +1083,42 @@ GROUP BY c_mktsegment
 
 QUERIES["salted_segment_revenue"] = salted_segment_revenue
 ORACLES["salted_segment_revenue"] = SALTED_SEGMENT_SQL
+
+
+def sketch_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch coverage: approx_percentile vs exact percentile_cont
+    with an oracle-asserted accuracy gate (companion to
+    sketch_distinct_accuracy).
+
+    Exact per-group percentiles hold all values; the KLL/GK-style sketch is
+    the mergeable at-scale form. Gate: the approx median must land between
+    the exact 45th and 55th percentiles — that RANK-space contract is what
+    the sketch guarantees (accuracy=10000 => ~0.01% rank error), and the
+    oracle asserts it as a literal TRUE.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.round(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 6
+        ).alias("exact_median"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_median"),
+        F.expr("percentile_cont(0.45) WITHIN GROUP (ORDER BY o_totalprice)").alias("p45"),
+        F.expr("percentile_cont(0.55) WITHIN GROUP (ORDER BY o_totalprice)").alias("p55"),
+    )
+    return per_status.select(
+        "o_orderstatus",
+        "exact_median",
+        F.col("approx_median").between(F.col("p45"), F.col("p55")).alias("within_rank_band"),
+    )
+
+
+SKETCH_PERCENTILE_SQL = """
+SELECT o_orderstatus,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS exact_median,
+       TRUE AS within_rank_band
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+QUERIES["sketch_percentile_accuracy"] = sketch_percentile_accuracy
+ORACLES["sketch_percentile_accuracy"] = SKETCH_PERCENTILE_SQL
