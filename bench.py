@@ -101,6 +101,17 @@ def main() -> None:
             "value": round(sum(sec.values()), 3),
             "queries": sec,
         }
+    # Full result goes to a file AND stdout: the driver's stdout tail capture
+    # truncated the (growing) single JSON line in round 2, so the durable
+    # copy lives in bench_out.json and a compact totals-only line prints
+    # FIRST so the headline number survives any truncation.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    compact = {k: out[k] for k in ("metric", "value", "unit", "sf")}
+    compact["n_queries"] = len(out["queries"])
+    compact["detail"] = "bench_out.json"
+    print(json.dumps(compact))
     print(json.dumps(out))
     spark.stop()
 

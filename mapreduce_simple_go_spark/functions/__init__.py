@@ -132,7 +132,14 @@ def money(col: Column) -> Column:
     return col.cast("decimal(18,2)")
 
 
-def salted_join(left, right, key: str, n_salt: int = 8, how: str = "inner"):
+def salted_join(
+    left,
+    right,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+    salt_on: list[str] | None = None,
+):
     """Skew-mitigating equi-join: salt the skewed left side, replicate right.
 
     A hot key concentrates its rows in one shuffle partition; salting
@@ -141,11 +148,17 @@ def salted_join(left, right, key: str, n_salt: int = 8, how: str = "inner"):
     automatically — this is the explicit form for extreme keys or when AQE
     is unavailable (e.g. inside a streaming join).
 
-    The salt is derived from row CONTENT (hash of all left columns), not
-    ``rand()``: a positional RNG can re-deal salts when a lost stage is
-    recomputed from lineage, interleaving two different salt assignments
-    within one join. A content hash assigns every recomputation of a row
-    the same salt. Only inner/left are supported — replication of the right
+    The salt is derived from row CONTENT, not ``rand()``: a positional RNG
+    can re-deal salts when a lost stage is recomputed from lineage,
+    interleaving two different salt assignments within one join. A content
+    hash assigns every recomputation of a row the same salt. By default the
+    hash covers the key plus every HASHABLE left column — MapType columns
+    are excluded (``F.hash`` rejects maps at analysis time); pass
+    ``salt_on`` to choose the columns explicitly. Caveat: content-derived
+    salt spreads a hot key only as far as its rows differ — if a hot key's
+    rows are byte-identical duplicates they share one salt bucket; include
+    a per-row discriminator column (an id, an offset) in ``salt_on`` for
+    that shape. Only inner/left are supported — replication of the right
     side changes multiplicity semantics for semi/anti/outer-right shapes.
 
     Returns the joined DataFrame with helper columns dropped.
@@ -157,8 +170,13 @@ def salted_join(left, right, key: str, n_salt: int = 8, how: str = "inner"):
             f"salted_join supports how='inner'|'left', got {how!r}: right-side "
             "replication breaks semi/anti/right-outer multiplicity"
         )
+    if salt_on is None:
+        # key first, then every non-map column (maps are unhashable)
+        salt_on = [key] + [
+            c for c, t in left.dtypes if c != key and not t.startswith("map<")
+        ]
     salted_left = left.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in salt_on]), F.lit(n_salt))
     )
     exploded_right = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

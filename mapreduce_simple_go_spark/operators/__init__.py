@@ -24,8 +24,14 @@ from . import (
 
 def _modules():
     # strict imports: a broken module must fail loudly here, not silently
-    # drop its queries from the registry the driver's gate checks
-    return [text, relational, kv, dedup, similarity, textstats, events, multimodal, sampling]
+    # drop its queries from the registry the driver's gate checks.
+    #
+    # Order matters: the driver's correctness harness checks the first 50
+    # registry entries in iteration order. Modules whose queries have never
+    # received a driver verdict go first (events, multimodal, sampling,
+    # textstats — 22 queries); the twice-verified relational block rotates
+    # to the tail, where its overflow past position 50 costs nothing.
+    return [events, multimodal, sampling, textstats, text, kv, dedup, similarity, relational]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

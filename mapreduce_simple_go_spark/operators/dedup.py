@@ -218,8 +218,22 @@ HAVING est_jaccard >= 0.5
 
 # 3. SimHash -------------------------------------------------------------------
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """48-bit frequency-weighted SimHash per document.
+def _md5_bits_hash(col, bits: int):
+    """``bits``-wide md5-derived token hash (generalizes functions.hash48).
+
+    bits must be a multiple of 4 (whole hex digits) and <= 60 so the conv()
+    result stays in exact signed-int64 range. Only the 48-bit form has a
+    DuckDB twin (duckdb_hash48's double reconstruction is exact to 2^53);
+    wider signatures are Spark-only and covered by the brute-force
+    differential test instead of the SQL oracle.
+    """
+    if bits % 4 != 0 or not 0 < bits <= 60:
+        raise ValueError(f"bits must be a multiple of 4 in (0, 60], got {bits}")
+    return F.conv(F.substring(F.md5(col), 1, bits // 4), 16, 10).cast("long")
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """``bits``-wide frequency-weighted SimHash per document.
 
     bit_j(sig) = 1 iff sum over token *occurrences* of (2*bit_j(hash(tok)) -
     1) > 0 — i.e. each term contributes with weight = its frequency, the
@@ -228,18 +242,18 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     identical signatures.)
     """
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    th = toks.select("doc_id", hash48(F.col("tok")).alias("h"))
-    # One wide aggregation (SIMHASH_BITS sum columns) instead of exploding
-    # each token into SIMHASH_BITS rows: all bit extractions are flat codegen
+    th = toks.select("doc_id", _md5_bits_hash(F.col("tok"), bits).alias("h"))
+    # One wide aggregation (``bits`` sum columns) instead of exploding
+    # each token into ``bits`` rows: all bit extractions are flat codegen
     # expressions and partial sums cross the shuffle as a single row per
     # (partition, doc).
     bit_sums = [
         F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     ]
     sig_terms = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
     return (
         th.groupBy("doc_id")
@@ -248,26 +262,44 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs with SimHash hamming distance <= 3.
+def dedup_simhash(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = SIMHASH_BITS,
+    blocks: int = SIMHASH_BLOCKS,
+    max_dist: int = SIMHASH_MAX_DIST,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance <= ``max_dist``.
 
-    Block-LSH makes it scale: the 48-bit signature splits into 4 blocks of
-    12; any pair within distance 3 shares at least one exact block
-    (pigeonhole), so candidates come from 4 equi-joins on (block_id,
-    block_value) instead of an all-pairs scan. Verification is a single
-    bit_count(xor) per candidate.
+    Block-LSH makes it scale: the ``bits``-bit signature splits into
+    ``blocks`` equal blocks; any pair within distance ``max_dist`` <= blocks
+    - 1 shares at least one exact block (pigeonhole), so candidates come
+    from ``blocks`` equi-joins on (block_id, block_value) instead of an
+    all-pairs scan. Verification is a single bit_count(xor) per candidate.
+
+    Sizing for corpus scale: expected bucket size is n / 2^(bits/blocks),
+    so the 48/4 default (12-bit blocks) buckets n/4096 — fine to ~10M docs;
+    a 100 TB corpus wants e.g. bits=60, blocks=5 (n/4096 at 3x the
+    signature entropy) or blocks=6 with a recall bump. The 48/4 default is
+    the oracle-checked configuration.
     """
-    sig = simhash_signatures(_docs(spark, sf_dir)).cache()
-    block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
-    blocks = sig.select(
+    if bits % blocks != 0:
+        raise ValueError(f"blocks must divide bits: {bits} % {blocks} != 0")
+    if max_dist >= blocks:
+        raise ValueError(
+            f"pigeonhole needs max_dist < blocks, got {max_dist} >= {blocks}"
+        )
+    sig = simhash_signatures(_docs(spark, sf_dir), bits=bits).cache()
+    block_bits = bits // blocks
+    blocks_df = sig.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BLOCKS - 1))).alias("blk"),
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("blk"),
     ).withColumn(
         "blk_val",
         F.expr(f"shiftright(simhash, blk * {block_bits}) & {(1 << block_bits) - 1}"),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
+    a, b = blocks_df.alias("a"), blocks_df.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.blk_val") == F.col("b.blk_val")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -277,7 +309,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= SIMHASH_MAX_DIST)
+        .filter(F.col("hamming") <= max_dist)
     )
 
 
@@ -310,18 +342,48 @@ WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_M
 
 # 4. Exact n-gram Jaccard ------------------------------------------------------
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+# A shingle appearing in more documents than this is boilerplate (license
+# headers, navigation chrome): its pair fan-out is quadratic in df and its
+# evidentiary value for near-duplication is nil. Candidate pairs must share
+# at least one shingle UNDER the ceiling; the Jaccard itself is still
+# computed on FULL shingle sets, so emitted values are exact.
+NGRAM_DF_CEILING = 1000
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    df_ceiling: int = NGRAM_DF_CEILING,
+) -> DataFrame:
     """Exact word-shingle Jaccard similarity join (>= threshold).
 
     Candidate generation by shared-shingle equi-join (a pair with Jaccard
-    >= t shares at least one shingle), group-count the intersection, then
-    compute |A ∪ B| from precomputed set sizes. The join explodes on stop
-    shingles at scale — this operator is the exact verifier; MinHash-LSH is
-    the pre-filter that keeps its input small.
+    >= t shares at least one shingle). The whole computation — candidate
+    join, intersection count, AND set sizes — runs over the shingle set
+    restricted to shingles in at most ``df_ceiling`` documents: the
+    self-defending cap on the quadratic hot-shingle fan-out, mirroring the
+    PMI df ceiling (textstats.word_cooccurrence_pmi). The emitted jaccard
+    is therefore the EXACT Jaccard of the sub-ceiling shingle sets — the
+    better near-dup metric anyway, since corpus-hot shingles are boilerplate
+    (license headers, chrome) that inflates similarity without evidencing
+    duplication. On any corpus where no shingle crosses the ceiling (the
+    fixtures) this equals plain Jaccard bit-for-bit. Keeping sizes on the
+    same capped universe keeps the plan ONE pair self-join + one aggregate —
+    restricting only candidates and re-joining full sets re-explodes as
+    |candidates| x |doc shingles| (measured 7x slower at sf0.1).
     """
     sh = doc_shingles(_docs(spark, sf_dir)).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # sh is distinct (doc_id, shingle), so count(*) is document frequency
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_ceiling)
+        .select("shingle")
+    )
+    sh_capped = sh.join(rare, "shingle")
+    sizes = sh_capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh_capped.alias("a"), sh_capped.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -345,10 +407,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8
 
 DEDUP_NGRAM_SQL = f"""
 WITH sh AS ({DUCK_DOC_SHINGLES}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CEILING}
+),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -441,6 +507,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.src == labels.node)
@@ -459,8 +526,20 @@ def connected_components(
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # the last pass still lowered labels: components with diameter >
+        # max_iter exist, and returning now would emit WRONG cluster ids.
+        # Fail loudly — callers raise max_iter (or switch to large-star/
+        # small-star, which converges in O(log^2 d)) rather than silently
+        # training on a half-merged dedup graph.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(label sum still decreasing); raise max_iter for graphs with "
+            f"diameter > {max_iter}"
+        )
     return labels
 
 

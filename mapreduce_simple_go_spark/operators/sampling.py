@@ -75,9 +75,17 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_share = F.round(
         F.col("max_tf") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"), 9
     )
+    # LEFT join: a doc whose text tokenizes to nothing (all punctuation or
+    # digits) has no term_stats row but must still surface — with
+    # n_tokens=0 and a failing verdict — per the "emits every doc" contract.
     scored = (
         d.select("doc_id", "text")
-        .join(term_stats, "doc_id")
+        .join(term_stats, "doc_id", "left")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")))
+        .withColumn("max_tf", F.coalesce(F.col("max_tf"), F.lit(0).cast("long")))
+        .withColumn(
+            "n_letters_tok", F.coalesce(F.col("n_letters_tok"), F.lit(0).cast("long"))
+        )
         .select(
             "doc_id",
             "n_tokens",
@@ -117,12 +125,14 @@ ts AS (
   FROM tf GROUP BY doc_id
 ),
 scored AS (
-  SELECT d.doc_id, ts.n_tokens,
-         round(ts.n_letters_tok / CAST(greatest(ts.n_tokens, 1) AS DOUBLE), 9) AS mean_word_len,
-         round(ts.max_tf / CAST(greatest(ts.n_tokens, 1) AS DOUBLE), 9) AS top_token_share,
+  SELECT d.doc_id, CAST(COALESCE(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+         round(COALESCE(ts.n_letters_tok, 0)
+             / CAST(greatest(COALESCE(ts.n_tokens, 0), 1) AS DOUBLE), 9) AS mean_word_len,
+         round(COALESCE(ts.max_tf, 0)
+             / CAST(greatest(COALESCE(ts.n_tokens, 0), 1) AS DOUBLE), 9) AS top_token_share,
          round(length(regexp_replace(d.text, '[^\p{{L}}]', '', 'g'))
              / CAST(greatest(length(d.text), 1) AS DOUBLE), 9) AS alpha_ratio
-  FROM documents d JOIN ts ON d.doc_id = ts.doc_id
+  FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id
 )
 SELECT doc_id, n_tokens, mean_word_len, top_token_share, alpha_ratio,
        (n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS})
@@ -272,12 +282,17 @@ ts AS (
   FROM tf GROUP BY doc_id
 ),
 passing AS (
+  -- LEFT JOIN + COALESCE mirrors quality_filter: token-less docs get
+  -- n_tokens=0 and fail the first rule (outcome identical to the inner
+  -- join here, kept in lockstep with QUALITY_FILTER_SQL to avoid drift)
   SELECT d.doc_id, d.text, d.lang, d.source
-  FROM documents d JOIN ts ON d.doc_id = ts.doc_id
-  WHERE (ts.n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS})
-    AND (round(ts.n_letters_tok / CAST(greatest(ts.n_tokens, 1) AS DOUBLE), 9)
+  FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id
+  WHERE (COALESCE(ts.n_tokens, 0) BETWEEN {MIN_TOKENS} AND {MAX_TOKENS})
+    AND (round(COALESCE(ts.n_letters_tok, 0)
+         / CAST(greatest(COALESCE(ts.n_tokens, 0), 1) AS DOUBLE), 9)
          BETWEEN {MIN_MEAN_WLEN} AND {MAX_MEAN_WLEN})
-    AND (round(ts.max_tf / CAST(greatest(ts.n_tokens, 1) AS DOUBLE), 9) <= {MAX_TOP_SHARE})
+    AND (round(COALESCE(ts.max_tf, 0)
+         / CAST(greatest(COALESCE(ts.n_tokens, 0), 1) AS DOUBLE), 9) <= {MAX_TOP_SHARE})
     AND (round(length(regexp_replace(d.text, '[^\\p{{L}}]', '', 'g'))
          / CAST(greatest(length(d.text), 1) AS DOUBLE), 9) >= {MIN_ALPHA_RATIO})
 ),

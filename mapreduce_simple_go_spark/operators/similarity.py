@@ -5,10 +5,11 @@ Two paths, as a 100 TB pipeline needs both:
 - :func:`ann_cosine_topk` — brute-force exact top-k: broadcast the (small)
   query set against the base table, one scan, per-query top-k via window.
   The correctness baseline every approximate method is measured against.
-- :func:`ann_ivf_topk` — IVF-style cell-probe search: deterministic coarse
-  centroids partition the base table into cells; a query probes only its
-  ``nprobe`` nearest cells. The scan cost drops from |base| to
-  |base| * nprobe / n_cells per query — the scale path.
+- :func:`ann_ivf_topk` — IVF-style cell-probe search: a fixed-count
+  (min(K_CENTROIDS, ceil(sqrt(n)))) deterministic centroid sample partitions
+  the base table into cells; a query probes only its ``nprobe`` nearest
+  cells. The scan cost drops from |base| to |base| * nprobe / n_cells per
+  query — the scale path.
 
 All arithmetic is sequential left-to-right double accumulation
 (``F.aggregate`` in Spark, ``list_reduce`` in DuckDB) so the oracle matches
@@ -19,16 +20,32 @@ Embeddings fixture: vec_id bigint, embedding array<float> (64 dims), label.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions import duckdb_hash48, hash48
+
 TOP_K = 5
 QUERY_MOD = 100   # vec_id % QUERY_MOD == 0 -> query vector
-CENTROID_MOD = 25  # vec_id % CENTROID_MOD == 0 -> coarse centroid
 NPROBE = 3
+
+# Coarse quantizer sizing: a FIXED count k = min(K_CENTROIDS, ceil(sqrt(n))),
+# not a fraction of the base table. sqrt(n) is the classical IVF cell count
+# (cells and per-cell size both grow as sqrt(n)); the cap bounds the driver
+# collect and the per-row argmax cost at O(K_CENTROIDS) no matter how large
+# the base grows. At genuine 100 TB scale you would raise the cap (a 4096 x
+# 64 float64 matrix is still a 2 MB broadcast) or train k-means centroids —
+# the invariant that matters is that centroid count is independent of n.
+K_CENTROIDS = 256
+
+
+def n_centroids(n_rows: int) -> int:
+    """Centroid count for a base table of ``n_rows`` vectors."""
+    return min(K_CENTROIDS, max(1, math.ceil(math.sqrt(n_rows))))
 
 # DuckDB: cosine with guaranteed sequential accumulation.
 _DUCK_DOT = (
@@ -110,18 +127,30 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 
 
 def _centroids(spark: SparkSession, base: DataFrame):
-    """Collect + broadcast the centroid matrix (tiny: |base|/CENTROID_MOD
-    rows, ~the build side of any broadcast join), with dimension-ordered
-    norms so every downstream cosine is bit-identical to the oracle's
-    sequential list_reduce."""
+    """Collect + broadcast the centroid matrix.
+
+    Selection is a FIXED-COUNT deterministic sample: the k = n_centroids(n)
+    vectors with the smallest ``hash48(vec_id)`` (md5-derived, identical in
+    DuckDB — see functions.duckdb_hash48), vec_id as tie-break. The hash
+    order is a uniform pseudo-random spread, and ``orderBy(...).limit(k)``
+    compiles to TakeOrderedAndProject — a per-partition top-k merge, not a
+    global sort, so selection is one cheap scan and the driver collect is
+    O(k) <= K_CENTROIDS rows regardless of base size. Norms accumulate
+    dimension-ordered so every downstream cosine is bit-identical to the
+    oracle's sequential list_reduce."""
     import numpy as np
 
+    k = n_centroids(base.count())
     rows = (
-        base.filter(F.col("vec_id") % CENTROID_MOD == 0)
+        base.select("vec_id", "embedding")
+        .withColumn("__h", hash48(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(k)
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
         .collect()
     )
+    # matrix stays cent_id-sorted: argmax ties resolve to the lowest cent_id
+    rows.sort(key=lambda r: r.vec_id)
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     C = np.array([r.embedding for r in rows], dtype=np.float64)
     nc = np.zeros(len(ids))
@@ -223,8 +252,9 @@ def _score_pairs_np(df: DataFrame, a_col: str, b_col: str, keep: list[str]) -> D
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell-probe approximate top-k.
 
-    Coarse quantizer: the deterministic centroid subset (vec_id %
-    CENTROID_MOD == 0). Build phase assigns every base vector to its nearest
+    Coarse quantizer: a fixed-count deterministic sample of the base table
+    (k = n_centroids(n) vectors with the smallest hash48(vec_id) — see
+    _centroids). Build phase assigns every base vector to its nearest
     centroid (broadcast numpy argmax in one mapInPandas pass — no shuffle of
     the base table). Query phase probes the NPROBE nearest cells only.
     Recall vs the exact baseline is asserted in tests/test_similarity.py.
@@ -266,10 +296,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of _centroids' fixed-count hash-ordered sample.
+CENTS_SQL = f"""
+  SELECT cent_id, c_emb FROM (
+    SELECT vec_id AS cent_id, embedding AS c_emb,
+           ROW_NUMBER() OVER (
+             ORDER BY {duckdb_hash48("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+           ) AS hr
+    FROM embeddings
+  ) WHERE hr <= (
+    SELECT LEAST({K_CENTROIDS},
+                 GREATEST(1, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)))
+    FROM embeddings
+  )
+"""
+
 ANN_IVF_SQL = f"""
 WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
-  WHERE vec_id % {CENTROID_MOD} = 0
+{CENTS_SQL}
 ),
 assign AS (
   SELECT vec_id, cell FROM (
@@ -457,8 +501,7 @@ def embedding_near_dup_ivf(
 
 EMB_NEAR_DUP_IVF_SQL = f"""
 WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
-  WHERE vec_id % {CENTROID_MOD} = 0
+{CENTS_SQL}
 ),
 assign AS (
   SELECT vec_id, cell FROM (

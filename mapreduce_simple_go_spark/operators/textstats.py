@@ -360,7 +360,10 @@ def word_cooccurrence_pmi(
       single-partition global window sort of every pair.
 
     The corpus count is folded into the plan as a 1-row broadcast cross
-    join (no separate count() pass).
+    join (no separate count() pass), and the per-word document frequencies
+    ride THROUGH the pair join as grouping keys (df is functionally
+    determined by the word) instead of being re-joined onto the aggregated
+    pairs — one broadcast vocab join total, not three.
     """
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
@@ -376,16 +379,16 @@ def word_cooccurrence_pmi(
         .filter(F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
         .select("w", "df")
     )
-    dw_capped = dw.join(broadcast(vocab.select("w")), "w")
-    a, b = dw_capped.alias("a"), dw_capped.alias("b")
+    dwv = dw.join(broadcast(vocab), "w")  # (w, doc_id, df)
+    a = dwv.select("doc_id", F.col("w").alias("wa"), F.col("df").alias("df_a"))
+    b = dwv.select("doc_id", F.col("w").alias("wb"), F.col("df").alias("df_b"))
     pairs = (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")))
-        .groupBy(F.col("a.w").alias("wa"), F.col("b.w").alias("wb"))
+        a.join(b, ["doc_id"])
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb", "df_a", "df_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= min_pairs)
     )
-    dfa = vocab.select(F.col("w").alias("wa"), F.col("df").alias("df_a"))
-    dfb = vocab.select(F.col("w").alias("wb"), F.col("df").alias("df_b"))
     pmi = F.round(
         F.log(
             (F.col("n_ab") / F.col("n_docs"))
@@ -394,9 +397,7 @@ def word_cooccurrence_pmi(
         9,
     )
     scored = (
-        pairs.join(broadcast(dfa), "wa")
-        .join(broadcast(dfb), "wb")
-        .crossJoin(broadcast(n))
+        pairs.crossJoin(broadcast(n))
         .select("wa", "wb", "n_ab", pmi.alias("pmi"))
     )
     # TakeOrderedAndProject for the heavy lifting; the rank window then runs

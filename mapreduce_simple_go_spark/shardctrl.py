@@ -42,9 +42,16 @@ class Config:
 def _rebalance(shards: list[int], gids: list[int]) -> list[int]:
     """Even out ``shards`` across ``gids`` moving as few shards as possible.
 
-    Deterministic: groups are processed in sorted-gid order; overfull groups
-    surrender their highest-numbered shards first; orphaned shards are
-    handed out in ascending shard order. Load spread after: max-min <= 1.
+    Deterministic: overfull groups surrender their highest-numbered shards
+    first; orphaned shards are handed out in ascending shard order. Load
+    spread after: max-min <= 1.
+
+    Minimality: total movement = orphaned + sum(max(0, load - target)), so
+    the base+1 "extra" slots must go to the groups CURRENTLY holding the
+    most shards (every extra slot granted to an already-loaded group saves
+    one surrender). Ranking by (-current_load, gid) achieves the optimum —
+    targets differ by at most 1, so the greedy choice is exact — and keeps
+    the assignment deterministic across ties.
     """
     if not gids:
         return [0] * len(shards)
@@ -57,8 +64,9 @@ def _rebalance(shards: list[int], gids: list[int]) -> list[int]:
         else:
             orphans.append(sh)
     base, extra = divmod(len(shards), len(gids))
-    # target load per group: first `extra` groups (sorted) take base+1
-    target = {g: base + (1 if i < extra else 0) for i, g in enumerate(gids)}
+    # extra slots to the most-loaded groups first: minimal movement
+    by_load = sorted(gids, key=lambda g: (-len(owned[g]), g))
+    target = {g: base + (1 if i < extra else 0) for i, g in enumerate(by_load)}
     for g in gids:
         while len(owned[g]) > target[g]:
             orphans.append(owned[g].pop())  # surrender highest shard number

@@ -114,7 +114,7 @@ def kv_append_state(ops: DataFrame) -> DataFrame:
 
 
 _KV_DEDUP_STATE_SCHEMA = StructType(
-    [StructField("state", StringType()), StructField("last_op_id", LongType())]
+    [StructField("state", StringType()), StructField("last_ops", StringType())]
 )
 
 
@@ -123,37 +123,54 @@ def _kv_fold_dedup(
 ) -> Iterator[pd.DataFrame]:
     """KV fold over an at-least-once log: apply each op_id at most once.
 
-    The reference clerk has one outstanding request at a time
-    (kvraft/client.go:59-64), so per key the first deliveries arrive in
-    op_id order and a duplicate always trails its original — tracking the
-    max applied op_id suffices, exactly like the reference server's
-    per-client last-request table. State stays O(1) per key.
+    Dedup state is a PER-CLIENT last-applied-op table (JSON dict in the
+    state row) — exactly the reference server's per-client duplicate table.
+    Suppressing on a single per-key max op_id is only correct when first
+    deliveries arrive in monotone op_id order (one client, one outstanding
+    request — kvraft/client.go:59-64); on a merged multi-client log a fresh
+    lower-op_id op from another client would be silently dropped. The
+    per-client table is correct for arbitrary client interleavings while
+    staying bounded by the number of clients writing the key, which is the
+    same bound the reference accepts. Ops without a client_id column fold
+    under one pseudo-client and inherit the monotone-op_id contract.
     """
+    import json
+
     if state.exists:
-        current, last_op = state.get
+        current, last_ops_json = state.get
+        last_ops: dict[str, int] = json.loads(last_ops_json)
     else:
-        current, last_op = "", -1
+        current, last_ops = "", {}
     frames = [pdf for pdf in pdfs if len(pdf)]
     if frames:
         allops = pd.concat(frames, ignore_index=True).sort_values("seq")
-        for op_id, op, value in zip(allops["op_id"], allops["op"], allops["value"]):
-            if op_id <= last_op:
+        has_client = "client_id" in allops.columns
+        clients = allops["client_id"] if has_client else [""] * len(allops)
+        for client, op_id, op, value in zip(
+            clients, allops["op_id"], allops["op"], allops["value"]
+        ):
+            client = str(client)
+            if op_id <= last_ops.get(client, -1):
                 continue  # duplicate delivery of an already-applied op
-            last_op = op_id
+            last_ops[client] = int(op_id)
             if op == "put":
                 current = value
             elif op == "append":
                 current = current + value
-    state.update((current, last_op))
+    state.update((current, json.dumps(last_ops)))
     yield pd.DataFrame({"key": [key[0]], "state": [current]})
 
 
 def kv_append_state_dedup(ops: DataFrame) -> DataFrame:
     """Streaming KV fold with duplicate-request suppression.
 
-    ``ops`` needs columns (seq, op_id, key, op, value); retried deliveries
-    share an op_id and must take effect once (checkClntAppends,
-    kvraft/test_test.go:348).
+    ``ops`` needs columns (seq, op_id, key, op, value) and optionally
+    ``client_id``; retried deliveries share an op_id and must take effect
+    once (checkClntAppends, kvraft/test_test.go:348). With a client_id
+    column, duplicate suppression is tracked per client (correct for
+    multi-client merged logs); without one, all ops share a pseudo-client
+    and each key's first deliveries must arrive in monotone op_id order —
+    the reference's one-outstanding-request-per-client assumption.
     """
     return ops.groupBy("key").applyInPandasWithState(
         _kv_fold_dedup,

@@ -56,6 +56,46 @@ def test_dedup_keeps_first_delivery(spark):
     assert ded.select("op_id", "seq").exceptAll(mins).count() == 0
 
 
+def test_streaming_dedup_multi_client_interleaving(spark, tmp_path):
+    """A merged multi-client log where a fresh LOWER op_id trails a higher
+    one (client B's first op arrives after client A's) must apply every
+    fresh op and drop only true duplicates — per-client last-op tracking,
+    not a single max-op_id watermark."""
+    from mapreduce_simple_go_spark.streaming import (
+        kv_append_state_dedup,
+        run_available_now,
+    )
+
+    rows = [
+        # (seq, op_id, client_id, key, op, value)
+        (1, 100, "A", "k", "append", "a1."),
+        (2, 100, "A", "k", "append", "a1."),   # dup of A:100 -> dropped
+        (3, 5, "B", "k", "append", "b1."),     # fresh, lower op_id: APPLIES
+        (4, 101, "A", "k", "append", "a2."),
+        (5, 5, "B", "k", "append", "b1."),     # dup of B:5 -> dropped
+        (6, 6, "B", "k", "append", "b2."),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq long, op_id long, client_id string, key string, op string, value string"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import os
+    import shutil
+
+    pfile = next(
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    )
+    shutil.copy(tmp_path / "stage" / pfile, src / "drop0.parquet")
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    run_available_now(kv_append_state_dedup(stream), "kv_dedup_mc", "update")
+    final = {
+        r.key: r.state for r in spark.sql("SELECT key, state FROM kv_dedup_mc").collect()
+    }
+    assert final == {"k": "a1.b1.a2.b2."}
+
+
 def test_streaming_dedup_matches_batch(spark, tmp_path):
     """The streaming O(1)-state dedup fold converges to the batch result."""
     import os

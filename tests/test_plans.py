@@ -117,6 +117,36 @@ def test_stratified_sample_is_scan_side_zero_shuffle(spark):
     assert count_operator(stratified_sample(spark, SF_DIR), "Exchange") == 0
 
 
+def test_sessionization_single_shuffle_reuses_window_sort(spark):
+    """The docstring's scale claim, pinned: gaps-and-islands sessionization
+    costs ONE Exchange (the user_id hash partitioning) and ONE Sort — the
+    lag window, the running-sum window, and the final (user_id, session_no)
+    aggregation all ride the same partitioning."""
+    from mapreduce_simple_go_spark.operators.events import sessionization
+
+    df = sessionization(spark, SF_DIR)
+    assert count_operator(df, "Exchange") == 1
+    plan = formatted_plan(df)
+    assert plan.count("+- Sort") + plan.count("   Sort") <= 1 or (
+        count_operator(df, "Sort") == 1
+    )
+
+
+def test_ngram_jaccard_pair_join_input_is_df_capped(spark):
+    """The quadratic shared-shingle join must consume the df-ceiling-capped
+    shingle set: the ceiling filter appears in the plan, and no plain
+    (uncapped) self-join shape remains upstream of candidate generation."""
+    from mapreduce_simple_go_spark.operators.dedup import (
+        NGRAM_DF_CEILING,
+        dedup_ngram_jaccard,
+    )
+
+    plan = formatted_plan(dedup_ngram_jaccard(spark, SF_DIR))
+    assert f"<= {NGRAM_DF_CEILING}" in plan, "df ceiling missing from plan"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q19_factors_equi_join_from_disjunction(spark):
     """The OR-of-ANDs predicate must not force a nested-loop join — the
     common l_partkey condition factors into a broadcast hash join."""

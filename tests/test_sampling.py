@@ -34,6 +34,25 @@ def test_quality_filter_mixed_verdicts(spark):
         assert set(r.fail_reasons.split(",")) <= names
 
 
+def test_quality_filter_keeps_tokenless_docs(spark, tmp_path):
+    """A doc that tokenizes to zero tokens (all punctuation/digits) must
+    still appear in the output — n_tokens=0, failing verdict — not be
+    silently dropped by the term_stats join."""
+    df = spark.createDataFrame(
+        [
+            (1, "12345 ... !!! ???", "en", "t"),
+            (2, " ".join(f"word{i}" for i in range(40)), "en", "t"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in quality_filter(spark, str(tmp_path)).collect()}
+    assert set(rows) == {1, 2}, "every doc must surface, token-less included"
+    assert rows[1].n_tokens == 0
+    assert not rows[1].passes
+    assert "n_tokens" in rows[1].fail_reasons.split(",")
+
+
 def test_stratified_sample_hits_configured_rates(spark):
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     totals = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
@@ -78,6 +97,23 @@ def test_connected_components_transitive_closure(spark):
     }
     assert got_driver == want
     assert got_dist == want
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iter must raise, not silently
+    return half-merged labels."""
+    import pytest as _pytest
+
+    from mapreduce_simple_go_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2, driver_threshold=0).collect()
+    # same graph with enough iterations resolves to one component
+    ok = connected_components(chain, max_iter=12, driver_threshold=0)
+    assert {r.label for r in ok.collect()} == {0}
 
 
 def test_dedup_clusters_cover_all_paired_docs(spark):

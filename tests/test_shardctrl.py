@@ -35,6 +35,35 @@ def _moved(a: Config, b: Config) -> int:
     return sum(1 for x, y in zip(a.shards, b.shards) if x != y)
 
 
+def _min_possible_moves(before: Config, after: Config) -> int:
+    """Theoretical minimum movement to rebalance onto ``after.groups``.
+
+    Computed from the BEFORE config and the new group set only — independent
+    of the implementation's target assignment. Any balanced config has
+    per-group targets in {base, base+1} with exactly ``extra`` groups at
+    base+1; moves = orphans + overflow, and overflow is minimized by giving
+    the base+1 slots to the groups currently holding the most shards (only
+    the multiset of loads matters, so this bound is assignment-independent).
+    """
+    gids = sorted(after.groups)
+    if not gids:
+        return sum(1 for g in before.shards if g != 0)
+    base, extra = divmod(NSHARDS, len(gids))
+    loads = {g: 0 for g in gids}
+    orphaned = 0
+    for g in before.shards:
+        if g in loads:
+            loads[g] += 1
+        else:
+            orphaned += 1
+    desc = sorted(loads.values(), reverse=True)
+    overflow = sum(
+        max(0, load - (base + 1 if i < extra else base))
+        for i, load in enumerate(desc)
+    )
+    return orphaned + overflow
+
+
 def test_join_leave_basic_balance_and_minimal_movement():
     c = ShardController()
     cfg1 = c.join({1: ["s1a", "s1b"]})
@@ -52,6 +81,22 @@ def test_join_leave_basic_balance_and_minimal_movement():
     _check_balanced(cfg4)
     # only group 1's shards move
     assert _moved(cfg3, cfg4) == sum(1 for g in cfg3.shards if g == 1)
+
+
+def test_join_into_loaded_world_moves_minimum():
+    """Joining gid 1 into {2: 5 shards, 3: 5 shards} must move exactly 3
+    shards ({2:4, 3:3, 1:3} is balanced) — not 4, which a load-blind
+    extra-slot assignment (lowest gid first) would produce."""
+    c = ShardController()
+    c.join({2: ["s2"]})
+    cfg2 = c.join({3: ["s3"]})
+    loads = {g: sum(1 for x in cfg2.shards if x == g) for g in (2, 3)}
+    assert loads == {2: 5, 3: 5}
+    cfg3 = c.join({1: ["s1"]})
+    _check_balanced(cfg3)
+    assert _moved(cfg2, cfg3) == 3
+    # the already-loaded groups keep their extra slot; the newcomer gets base
+    assert sum(1 for x in cfg3.shards if x == 1) == 3
 
 
 def test_query_history_and_move():
@@ -89,22 +134,7 @@ def test_random_membership_sequences_stay_balanced_and_minimal(opsq):
         else:
             continue
         _check_balanced(cfg)
-        # minimal movement: a shard moves only if its owner left or the
-        # balance target forces it — lower bound is the total overflow
-        # (shards that MUST leave their group), and minimal == hitting it.
-        gids = sorted(cfg.groups)
-        if gids:
-            base, extra = divmod(NSHARDS, len(gids))
-            target = {g: base + (1 if i < extra else 0) for i, g in enumerate(gids)}
-            before_loads = {g: 0 for g in gids}
-            for g in before.shards:
-                if g in before_loads:
-                    before_loads[g] += 1
-            orphaned = sum(1 for g in before.shards if g not in cfg.groups)
-            overflow = sum(
-                max(0, before_loads[g] - target[g]) for g in gids
-            )
-            assert _moved(before, cfg) == orphaned + overflow
+        assert _moved(before, cfg) == _min_possible_moves(before, cfg)
 
 
 def test_key2shard_matches_reference_function():

@@ -60,6 +60,39 @@ def test_minhash_finds_planted_near_dups(spark):
         assert abs(est[p] - j) <= 0.35, (p, est[p], j)
 
 
+def test_simhash_parameterized_matches_brute_force(spark):
+    """At a second (bits, blocks) parameterization — 60-bit signatures, 5
+    blocks of 12 — the block-LSH candidate join must find EXACTLY the pairs
+    a brute-force hamming scan finds (pigeonhole guarantees completeness
+    for max_dist <= blocks - 1), and the default contract still validates
+    its parameters."""
+    import pytest as _pytest
+
+    from mapreduce_simple_go_spark.operators.dedup import (
+        dedup_simhash,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs, bits=60).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 4
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup_simhash(spark, SF_DIR, bits=60, blocks=5, max_dist=4).collect()
+    }
+    assert got == want
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup_simhash(spark, SF_DIR, bits=48, blocks=4, max_dist=4)
+    with _pytest.raises(ValueError, match="divide"):
+        dedup_simhash(spark, SF_DIR, bits=48, blocks=5)
+
+
 def test_brute_near_dup_size_gate_delegates_to_ivf(spark):
     """Above max_brute_rows the brute path must NOT collect the base table —
     it delegates to the IVF cell-restricted scan (the scale path)."""
