@@ -183,3 +183,204 @@ FROM hexed
 
 QUERIES = {"multimodal_features": multimodal_features}
 ORACLES: dict[str, str] = {"multimodal_features": _MM_ORACLE}
+
+
+N_FRAMES = 4
+THUMB_K = 16
+
+# hex-pair -> byte value (DuckDB has no hex->int cast); h must be lowercase
+_DUCK_BYTE = (
+    "((strpos('0123456789abcdef', substr({h}, 2*{i} + 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr({h}, 2*{i} + 2, 1)) - 1))"
+)
+
+
+def _sig_of_hex(h_expr: str, n_bytes: int) -> str:
+    """DuckDB: '-'-joined first ``n_bytes`` byte values of a lowercase hex
+    digest string — the same canonical signature the Spark side emits."""
+    return (
+        "array_to_string(list_transform(range(0, "
+        f"{n_bytes}), i -> CAST({_DUCK_BYTE.format(h=h_expr, i='i')} AS VARCHAR)), '-')"
+    )
+
+
+def multimodal_frame_features(
+    spark: SparkSession, sf_dir: str, n_frames: int = N_FRAMES
+) -> DataFrame:
+    """Frame sampling + per-frame feature extraction, oracle-checked.
+
+    The 'video' path of the pipeline: each media payload is decoded, split
+    into ``n_frames`` equal character chunks (frames), and each frame gets
+    a sha256-derived feature signature — the registered 1:N companion to
+    the library-level :func:`frame_sample` (which chunks raw bytes; frames
+    here are character-aligned so the DuckDB oracle can recompute every
+    chunk with substr + sha256, which only accept VARCHAR). Plan shape: one
+    Arrow-batched mapInPandas pass, no shuffle, output n_frames rows per
+    doc.
+    """
+
+    media = synth_media(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_no, out_sig = [], [], []
+            for doc_id, m, meta in zip(pdf["doc_id"], pdf["media"], pdf["media_meta"]):
+                s = decode_media(bytes(m), meta["format"]).decode("utf-8")
+                step = max(1, len(s) // n_frames)
+                for i in range(n_frames):
+                    chunk = s[i * step : (i + 1) * step]
+                    digest = hashlib.sha256(chunk.encode("utf-8")).digest()
+                    out_id.append(doc_id)
+                    out_no.append(i)
+                    out_sig.append("-".join(str(b) for b in digest[:FEATURE_DIM]))
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_no": out_no, "frame_sig": out_sig}
+            )
+
+    return media.mapInPandas(
+        batches, schema="doc_id long, frame_no int, frame_sig string"
+    )
+
+
+_MM_FRAMES_ORACLE = f"""
+WITH stepped AS (
+  SELECT doc_id, text, greatest(1, length(text) // {N_FRAMES}) AS step
+  FROM documents
+),
+framed AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+         lower(sha256(substr(text, CAST(i * step + 1 AS INTEGER), CAST(step AS INTEGER)))) AS h
+  FROM stepped, (SELECT unnest(range({N_FRAMES})) AS i)
+)
+SELECT doc_id, frame_no, {_sig_of_hex('h', 'FEATURE_DIM_PLACEHOLDER')} AS frame_sig
+FROM framed
+""".replace("FEATURE_DIM_PLACEHOLDER", str(FEATURE_DIM))
+
+QUERIES["multimodal_frame_features"] = multimodal_frame_features
+ORACLES["multimodal_frame_features"] = _MM_FRAMES_ORACLE
+
+
+def multimodal_resize(
+    spark: SparkSession, sf_dir: str, k: int = THUMB_K
+) -> DataFrame:
+    """'Image resize' plumbing: fixed-size thumbnail from each payload.
+
+    Downsampling a variable-size payload to exactly ``k`` bytes sampled at
+    evenly spaced offsets (offset_i = floor(i * n / k)) — the nearest-
+    neighbor-resize access pattern with a real decoder swapped out for the
+    byte-identity stub. Emits the thumbnail as a canonical '-'-joined byte
+    string so it is hashable by any engine. One mapInPandas pass, no
+    shuffle; thumbnails are constant-size regardless of media size, which
+    is the property a 100 TB media pipeline needs from its resize stage.
+    """
+
+    media = synth_media(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_n, out_sig = [], [], []
+            for doc_id, m, meta in zip(pdf["doc_id"], pdf["media"], pdf["media_meta"]):
+                payload = decode_media(bytes(m), meta["format"])
+                n = len(payload)
+                thumb = "" if n == 0 else "-".join(
+                    str(payload[(i * n) // k]) for i in range(k)
+                )
+                out_id.append(doc_id)
+                out_n.append(n)
+                out_sig.append(thumb)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "n_bytes": out_n, "thumb_sig": out_sig}
+            )
+
+    return media.mapInPandas(
+        batches, schema="doc_id long, n_bytes long, thumb_sig string"
+    )
+
+
+_MM_RESIZE_ORACLE = f"""
+WITH hexed AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         lower(hex(encode(text))) AS h
+  FROM documents
+)
+SELECT doc_id, n_bytes,
+       CASE WHEN n_bytes = 0 THEN '' ELSE
+         array_to_string(list_transform(range(0, {THUMB_K}), i ->
+           CAST({_DUCK_BYTE.format(h='h', i="((i * n_bytes) // " + str(THUMB_K) + ")")} AS VARCHAR)), '-')
+       END AS thumb_sig
+FROM hexed
+"""
+
+QUERIES["multimodal_resize"] = multimodal_resize
+ORACLES["multimodal_resize"] = _MM_RESIZE_ORACLE
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio' feature extraction: amplitude stats over 8-bit PCM samples.
+
+    Treats each payload as unsigned 8-bit PCM and computes the standard
+    loudness profile (sample count, mean amplitude, RMS) — the shape of a
+    real audio-featurization stage, with numpy doing the per-batch math
+    exactly (integer sums; one float division/sqrt at the end, so the
+    result is bit-identical to the oracle's integer-sum formulation). One
+    Arrow pass, no shuffle. The final round happens in SPARK (HALF_UP,
+    matching DuckDB's round) — Python's round() is banker's and would
+    diverge on boundary values.
+    """
+    import math
+
+    import numpy as np
+
+    media = synth_media(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "mean_raw": [], "rms_raw": []}
+            for doc_id, m, meta in zip(pdf["doc_id"], pdf["media"], pdf["media_meta"]):
+                payload = decode_media(bytes(m), meta["format"])
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                s = int(arr.sum()) if n else 0
+                sq = int((arr * arr).sum()) if n else 0
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["mean_raw"].append(s / n if n else 0.0)
+                out["rms_raw"].append(math.sqrt(sq / n) if n else 0.0)
+            yield pd.DataFrame(out)
+
+    raw = media.mapInPandas(
+        batches,
+        schema="doc_id long, n_samples long, mean_raw double, rms_raw double",
+    )
+    return raw.select(
+        "doc_id",
+        "n_samples",
+        F.round("mean_raw", 9).alias("mean_amp"),
+        F.round("rms_raw", 9).alias("rms_amp"),
+    )
+
+
+_MM_AUDIO_ORACLE = f"""
+WITH hexed AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+         lower(hex(encode(text))) AS h
+  FROM documents
+),
+summed AS (
+  SELECT doc_id, n_samples,
+         CAST(list_sum(list_transform(range(0, n_samples),
+              i -> {_DUCK_BYTE.format(h='h', i='i')})) AS BIGINT) AS s,
+         CAST(list_sum(list_transform(range(0, n_samples),
+              i -> {_DUCK_BYTE.format(h='h', i='i')} * {_DUCK_BYTE.format(h='h', i='i')})) AS BIGINT) AS sq
+  FROM hexed
+)
+SELECT doc_id, n_samples,
+       CASE WHEN n_samples = 0 THEN 0.0 ELSE round(s / n_samples, 9) END AS mean_amp,
+       CASE WHEN n_samples = 0 THEN 0.0 ELSE round(sqrt(sq / n_samples), 9) END AS rms_amp
+FROM summed
+"""
+
+QUERIES["multimodal_audio_stats"] = multimodal_audio_stats
+ORACLES["multimodal_audio_stats"] = _MM_AUDIO_ORACLE

@@ -1122,3 +1122,290 @@ GROUP BY o_orderstatus
 
 QUERIES["sketch_percentile_accuracy"] = sketch_percentile_accuracy
 ORACLES["sketch_percentile_accuracy"] = SKETCH_PERCENTILE_SQL
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share.
+
+    Per order year: the revenue share supplied by one nation (NATION_3)
+    among all PROMO-type parts sold into the ASIA region. Every dimension
+    (part, customer, both nation roles, region, supplier) broadcasts; the
+    only shuffle join is lineitem ⋈ orders, and the two-level aggregation
+    (conditional sum / total sum) is one partial-aggregated groupBy on the
+    year. The conditional branch is applied to the raw price BEFORE the
+    decimal money cast so both engines sum the identical decimal stream.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part_f = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    asia = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount"))
+    )
+    nat_vol = money(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("l_extendedprice")).otherwise(0.0)
+    ) * (F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount")))
+    return (
+        li.join(broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(broadcast(asia), F.col("cn_region") == asia.r_regionkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat_vol).cast("double") / F.sum(vol).cast("double"), 9
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(
+         CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice ELSE 0 END AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 9) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+QUERIES["q8_market_share"] = q8_market_share
+ORACLES["q8_market_share"] = Q8_SQL
+
+
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style priority-by-shipping-class counts.
+
+    The literal Q12 buckets by l_shipmode and commit/receipt lateness;
+    this fixture carries neither column, so the shipping class is derived
+    from the ship delay (l_shipdate - o_orderdate: FAST < 30 days, NORMAL
+    30-90, SLOW > 90) — same plan shape: one lineitem ⋈ orders shuffle
+    join, then conditional counts of high- vs low-priority orders per
+    class. Filter and 2-column projections push to both scans.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    ship_class = (
+        F.when(delay < 30, "FAST").when(delay <= 90, "NORMAL").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(ship_class.alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 30 THEN 'FAST'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN 'NORMAL'
+            ELSE 'SLOW' END AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+QUERIES["q12_ship_delay_priority"] = q12_ship_delay_priority
+ORACLES["q12_ship_delay_priority"] = Q12_SQL
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution.
+
+    For each order count c_count, how many customers placed exactly that
+    many qualifying orders — including the zero bucket, which is why the
+    join must be LEFT OUTER (an inner join silently drops never-ordered
+    customers; the reference Q13's entire point). The literal query
+    excludes orders by comment pattern; this fixture has no o_comment, so
+    low-priority ('5-LOW') orders stand in as the exclusion. Two shuffles
+    by nature: per-customer count, then the count-of-counts histogram
+    (second one is tiny).
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+QUERIES["q13_customer_order_distribution"] = q13_customer_order_distribution
+ORACLES["q13_customer_order_distribution"] = Q13_SQL
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier by quarterly revenue.
+
+    Revenue per supplier over one 3-month shipping window, returning the
+    supplier(s) whose revenue equals the maximum — the literal query's
+    CREATE VIEW + scalar-subquery-max shape, expressed as an aggregate
+    reused twice (Catalyst evaluates the tiny max as a 1-row broadcast).
+    Exact-equality on the max is safe cross-engine because revenue is a
+    decimal sum cast to double — bit-identical in both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                money(F.col("l_extendedprice"))
+                * (F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount")))
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+QUERIES["q15_top_supplier"] = q15_top_supplier
+ORACLES["q15_top_supplier"] = Q15_SQL
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting.
+
+    Count, per supplier, the finalized multi-supplier orders where that
+    supplier was the ONLY late one. The literal query says EXISTS (another
+    supplier's line) AND NOT EXISTS (another supplier's LATE line); lacking
+    l_commitdate/l_receiptdate, "late" here is a ship delay over 90 days.
+    Instead of Q21's two correlated self-joins of lineitem, one per-order
+    aggregation computes (distinct suppliers, distinct late suppliers) and
+    the late lines join that — same semantics, one shuffle less, no
+    correlated-subquery re-scan; the per-order profile then joins back on
+    the already-partitioned order key. Top-20 via TakeOrderedAndProject.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    waiting = (
+        lo.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1)
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        waiting.join(broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supps
+  FROM lo GROUP BY l_orderkey
+),
+waiting AS (
+  SELECT w.l_suppkey, COUNT(*) AS numwait
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE is_late) w
+  JOIN per_order p ON p.l_orderkey = w.l_orderkey
+  WHERE p.n_supps >= 2 AND p.n_late_supps = 1
+  GROUP BY w.l_suppkey
+)
+SELECT s_name, numwait
+FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
+ORACLES["q21_waiting_suppliers"] = Q21_SQL

@@ -50,6 +50,47 @@ def test_frame_sample_is_one_to_n(media):
     assert [r["count"] for r in per_doc] == [4]
 
 
+def test_frame_features_one_to_n_and_deterministic(spark):
+    from mapreduce_simple_go_spark.operators.multimodal import (
+        N_FRAMES,
+        multimodal_frame_features,
+    )
+
+    f1 = sorted(map(tuple, multimodal_frame_features(spark, SF_DIR).collect()))
+    f2 = sorted(map(tuple, multimodal_frame_features(spark, SF_DIR).collect()))
+    assert f1 == f2
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(f1) == n_docs * N_FRAMES
+
+
+def test_resize_thumbnail_is_fixed_size(spark):
+    from mapreduce_simple_go_spark.operators.multimodal import (
+        THUMB_K,
+        multimodal_resize,
+    )
+
+    rows = multimodal_resize(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.n_bytes > 0:
+            parts = r.thumb_sig.split("-")
+            assert len(parts) == THUMB_K
+            assert all(0 <= int(p) <= 255 for p in parts)
+
+
+def test_audio_stats_bounds(spark):
+    from mapreduce_simple_go_spark.operators.multimodal import (
+        multimodal_audio_stats,
+    )
+
+    rows = multimodal_audio_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mean_amp <= 255.0
+        # RMS >= mean for non-negative samples (Jensen), both within range
+        assert r.mean_amp <= r.rms_amp <= 255.0
+
+
 def test_decode_media_stub_gates_real_formats():
     assert decode_media(b"abc", "fake/raw") == b"abc"
     with pytest.raises(NotImplementedError):

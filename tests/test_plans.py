@@ -147,6 +147,17 @@ def test_ngram_jaccard_pair_join_input_is_df_capped(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q21_top20_uses_take_ordered_no_nlj(spark):
+    """The exists/not-exists rewrite must stay equi-join-only (no nested
+    loop from the correlated shape) and take its top-20 distributed."""
+    from mapreduce_simple_go_spark.operators.relational import q21_waiting_suppliers
+
+    plan = formatted_plan(q21_waiting_suppliers(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q19_factors_equi_join_from_disjunction(spark):
     """The OR-of-ANDs predicate must not force a nested-loop join — the
     common l_partkey condition factors into a broadcast hash join."""
