@@ -124,3 +124,17 @@ class Engine:
         return self.spark.read.schema("Key string, Value string").json(path).select(
             F.col("Key").alias("key"), F.col("Value").alias("value")
         )
+
+    def save_csv(self, df: DataFrame, path: str) -> None:
+        """Headered CSV sink — the interchange format for tools outside the
+        lake. Same per-partition files + atomic commit as the other sinks."""
+        df.write.mode("overwrite").option("header", True).csv(path)
+
+    def load_csv(self, path: str, schema: str | None = None) -> DataFrame:
+        """Headered CSV source. Pass an explicit DDL ``schema`` in anything
+        production-shaped: inference reads the data twice and guesses types
+        per-file; an explicit schema is one pass and stable."""
+        reader = self.spark.read.option("header", True)
+        if schema is not None:
+            return reader.schema(schema).csv(path)
+        return reader.option("inferSchema", True).csv(path)

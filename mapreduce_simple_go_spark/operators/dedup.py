@@ -441,6 +441,77 @@ ORACLES = {
 }
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact dedup: a new batch against the standing corpus.
+
+    The shape a production pipeline actually runs daily: not "dedup the
+    corpus" but "which INCOMING documents are new?". The fixture splits
+    deterministically — doc_id % 10 == 0 is the incoming batch, the rest is
+    the standing corpus. Each incoming doc gets a verdict:
+
+    - ``dup_of_corpus``  — content digest already in the corpus (left-semi
+      shape via the digest join);
+    - ``dup_in_batch``   — first occurrence wins inside the batch (window
+      on digest, ordered by doc_id);
+    - ``new``            — reaches the corpus.
+
+    Plan: both sides reduce to 16-byte digests BEFORE the join (shuffle
+    carries digests, never bodies) and the corpus side aggregates to
+    distinct digests — at 100 TB the standing-corpus digest set is exactly
+    the bloom-filter/digest-index a real pipeline maintains; the join is
+    its degenerate-but-exact form.
+    """
+    d = _docs(spark, sf_dir)
+    incoming = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    corpus_digests = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    from pyspark.sql import Window as W
+
+    first_in_batch = F.row_number().over(
+        W.partitionBy("digest").orderBy("doc_id")
+    )
+    verdict = (
+        F.when(F.col("in_corpus"), "dup_of_corpus")
+        .when(F.col("rn") > 1, "dup_in_batch")
+        .otherwise("new")
+    )
+    return (
+        incoming.join(corpus_digests, "digest", "left")
+        .withColumn("rn", first_in_batch)
+        .select("doc_id", verdict.alias("verdict"))
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH incoming AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 10 = 0
+),
+corpus AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 10 <> 0
+),
+ranked AS (
+  SELECT i.doc_id,
+         c.digest IS NOT NULL AS in_corpus,
+         ROW_NUMBER() OVER (PARTITION BY i.digest ORDER BY i.doc_id) AS rn
+  FROM incoming i LEFT JOIN corpus c ON i.digest = c.digest
+)
+SELECT doc_id,
+       CASE WHEN in_corpus THEN 'dup_of_corpus'
+            WHEN rn > 1 THEN 'dup_in_batch'
+            ELSE 'new' END AS verdict
+FROM ranked
+"""
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLES["dedup_incremental"] = DEDUP_INCREMENTAL_SQL
+
+
 MAX_DRIVER_EDGES = 100_000  # a candidate graph this small is union-found on
 # the driver in one collect (few MB); the iterative-join path is the scale
 # route for bigger graphs

@@ -288,3 +288,54 @@ GROUP BY 1
 
 QUERIES["kv_shard_distribution"] = kv_shard_distribution
 ORACLES["kv_shard_distribution"] = KV_SHARD_SQL
+
+
+def kv_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry that runs the REAL Structured Streaming stateful fold.
+
+    The write log replays through ``streaming.kv_append_state``
+    (applyInPandasWithState, O(1) state per key) with an availableNow
+    trigger — a bounded drain of the same code path an unbounded deployment
+    runs — and the final per-key state must equal the batch fold, so this
+    query SHARES kv_final_state's DuckDB oracle. This is the one registry
+    row where the correctness gate hashes actual streaming-engine output
+    instead of a batch twin. The log is staged as one seq-sorted parquet
+    file (arrival order = linearization order, the stream's contract); the
+    memory-sink table name is unique per invocation so repeated runs in one
+    session don't collide.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import kv_append_state, run_available_now
+
+    ops = kv_ops(spark, sf_dir).filter(F.col("op") != "get").orderBy("seq")
+    root = tempfile.mkdtemp(prefix="kv_stream_q_")
+    try:
+        stage = os.path.join(root, "stage")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        ops.coalesce(1).write.mode("overwrite").parquet(stage)
+        pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, pfile), os.path.join(src, "drop0.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        name = "kvsfs_" + uuid.uuid4().hex[:8]
+        run_available_now(kv_append_state(stream), name, "update")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # update-mode memory sink appends one row per (key, micro-batch);
+    # the LAST update per key is the final state
+    return spark.sql(
+        f"""
+        SELECT key, state FROM (
+          SELECT key, state, row_number() OVER (PARTITION BY key ORDER BY rn DESC) AS r
+          FROM (SELECT key, state, monotonically_increasing_id() AS rn FROM {name})
+        ) WHERE r = 1
+        """
+    )
+
+
+QUERIES["kv_stream_final_state"] = kv_stream_final_state
+ORACLES["kv_stream_final_state"] = KV_FINAL_STATE_SQL

@@ -73,6 +73,20 @@ def test_csv_json_text_roundtrip(spark, tmp_path):
     assert spark.read.text(text_path).count() == base.count()
 
 
+def test_engine_csv_sink_roundtrip(spark, tmp_path):
+    """Engine-level CSV sink/source: explicit-schema read is lossless."""
+    from mapreduce_simple_go_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(50).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = str(tmp_path / "csv_engine")
+    eng.save_csv(base, out)
+    back = eng.load_csv(out, "o_orderkey bigint, o_orderstatus string, o_totalprice double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, base.collect()))
+
+
 def test_jsonl_kv_sink_roundtrip(spark, tmp_path):
     """The reference's JSON-lines intermediate format (worker.go:82-100) as
     a user sink: write -> read back must be lossless, including spaces and
