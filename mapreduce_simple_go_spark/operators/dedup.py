@@ -633,8 +633,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> 
     )
 
 
-DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE sh AS ({DUCK_DOC_SHINGLES}),
+# Shared CTE body (everything from shingles to the recursive reachability
+# closure) — DEDUP_CLUSTERS_SQL selects from it directly and
+# sampling.training_corpus_pipeline's oracle composes it with the curation
+# stages. Must follow a `WITH RECURSIVE` keyword at the use site.
+CLUSTERS_CTES = f"""sh AS ({DUCK_DOC_SHINGLES}),
 hashed AS (SELECT doc_id, {duckdb_hash48("shingle")} AS h FROM sh),
 mh AS (
   SELECT doc_id, perm, MIN((a * h + b) & {(1 << 48) - 1}) AS minhash
@@ -668,7 +671,10 @@ reach(node, lbl) AS (
   SELECT DISTINCT src, src FROM edges
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-)
+)"""
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {CLUSTERS_CTES}
 SELECT node AS doc_id, MIN(lbl) AS cluster_id
 FROM reach GROUP BY node
 """

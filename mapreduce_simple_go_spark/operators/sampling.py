@@ -239,6 +239,26 @@ ORACLES = {
 }
 
 
+def _split_col():
+    h = hash48(F.md5(F.col("text"))) % 100
+    return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+
+
+def _curated_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-passing docs reduced to one representative per exact-duplicate
+    group (min doc_id per md5(text) — the dedup_exact retention rule).
+    Returns (doc_id, lang, source, text)."""
+    q = quality_filter(spark, sf_dir).filter(F.col("passes")).select("doc_id")
+    d = _docs(spark, sf_dir).join(q, "doc_id")
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        d.withColumn("digest", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "text")
+    )
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation: quality gate -> exact-dedup -> split.
 
@@ -255,21 +275,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage order matters at scale: the quality filter is a cheap map that
     shrinks the corpus BEFORE the dedup shuffle pays for it.
     """
-    q = quality_filter(spark, sf_dir).filter(F.col("passes")).select("doc_id")
-    d = _docs(spark, sf_dir).join(q, "doc_id")
-    w = Window.partitionBy("digest").orderBy("doc_id")
-    h = hash48(F.md5(F.col("text"))) % 100
-    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
-    return (
-        d.withColumn("digest", F.md5("text"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", split.alias("split"))
+    return _curated_reps(spark, sf_dir).select(
+        "doc_id", "lang", "source", _split_col().alias("split")
     )
 
 
-CURATION_PIPELINE_SQL = f"""
-WITH tf AS (
+# Shared curation CTE body (quality rules -> exact-dedup reps); used by
+# CURATION_PIPELINE_SQL and the training_corpus_pipeline oracle.
+_CURATION_CTES = f"""tf AS (
   SELECT doc_id, term, COUNT(*) AS tf
   FROM (SELECT doc_id,
                unnest(list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), w -> w <> '')) AS term
@@ -301,11 +314,66 @@ reps AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
     FROM passing
   ) WHERE rn = 1
-)
-SELECT doc_id, lang, source,
+)"""
+
+_SPLIT_SELECT = f"""SELECT doc_id, lang, source,
        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-FROM (SELECT doc_id, lang, source, {duckdb_hash48("md5(text)")} % 100 AS b FROM reps)
+FROM (SELECT doc_id, lang, source, {duckdb_hash48("md5(text)")} % 100 AS b FROM {{src}})"""
+
+CURATION_PIPELINE_SQL = f"""
+WITH {_CURATION_CTES}
+{_SPLIT_SELECT.format(src="reps")}
 """
 
 QUERIES["curation_pipeline"] = curation_pipeline
 ORACLES["curation_pipeline"] = CURATION_PIPELINE_SQL
+
+
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data prep chain in one declarative plan:
+    quality gate -> exact dedup -> NEAR-dup cluster dedup -> split.
+
+    Extends :func:`curation_pipeline` with the near-duplicate stage a real
+    corpus build runs: MinHash-LSH candidate pairs are clustered
+    (connected components, dedup.dedup_clusters) and each cluster keeps its
+    smallest-doc_id SURVIVING member — so A~B near-dups where both passed
+    quality collapse to one doc even when their digests differ. Docs in no
+    near-dup cluster keep themselves (COALESCE(cluster_id, doc_id) is the
+    retention group). Output = the final manifest (doc_id, lang, source,
+    split). At scale every stage is the operator already analyzed in
+    SCALE.md; the composition adds no new shuffle shape — the cluster map
+    is a (doc_id, cluster_id) table joined on the already-partitioned id.
+    """
+    from .dedup import dedup_clusters
+
+    reps = _curated_reps(spark, sf_dir)
+    clusters = dedup_clusters(spark, sf_dir)
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    return (
+        reps.join(clusters, "doc_id", "left")
+        .withColumn("grp", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+        .withColumn("nrn", F.row_number().over(w))
+        .filter(F.col("nrn") == 1)
+        .select("doc_id", "lang", "source", _split_col().alias("split"))
+    )
+
+
+def _training_sql() -> str:
+    from .dedup import CLUSTERS_CTES
+
+    return f"""
+WITH RECURSIVE {CLUSTERS_CTES},
+clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+{_CURATION_CTES},
+near AS (
+  SELECT r.doc_id, r.lang, r.source, r.text,
+         ROW_NUMBER() OVER (PARTITION BY COALESCE(c.cluster_id, r.doc_id)
+                            ORDER BY r.doc_id) AS nrn
+  FROM reps r LEFT JOIN clusters c ON c.doc_id = r.doc_id
+)
+{_SPLIT_SELECT.format(src="near WHERE nrn = 1")}
+"""
+
+
+QUERIES["training_corpus_pipeline"] = training_corpus_pipeline
+ORACLES["training_corpus_pipeline"] = _training_sql()

@@ -99,6 +99,33 @@ def test_connected_components_transitive_closure(spark):
     assert got_dist == want
 
 
+def test_training_pipeline_drops_near_dups_from_curated_set(spark):
+    """training_corpus_pipeline = curation_pipeline minus near-duplicates:
+    its output is a subset of the curated manifest, keeps at most one doc
+    per near-dup cluster (the smallest surviving doc_id), and carries the
+    same split labels for the docs it keeps."""
+    from mapreduce_simple_go_spark.operators.dedup import dedup_clusters
+    from mapreduce_simple_go_spark.operators.sampling import (
+        curation_pipeline,
+        training_corpus_pipeline,
+    )
+
+    curated = {r.doc_id: r.split for r in curation_pipeline(spark, SF_DIR).collect()}
+    final = {r.doc_id: r.split for r in training_corpus_pipeline(spark, SF_DIR).collect()}
+    assert set(final) <= set(curated)
+    assert all(final[d] == curated[d] for d in final)
+    clusters = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, SF_DIR).collect()}
+    kept_per_cluster: dict[int, list[int]] = {}
+    for d in final:
+        if d in clusters:
+            kept_per_cluster.setdefault(clusters[d], []).append(d)
+    for cl, docs in kept_per_cluster.items():
+        assert len(docs) == 1, f"cluster {cl} kept {docs}"
+        # the kept doc is the smallest SURVIVING member of its cluster
+        surviving = [d for d, c in clusters.items() if c == cl and d in curated]
+        assert docs[0] == min(surviving)
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     """A component whose diameter exceeds max_iter must raise, not silently
     return half-merged labels."""
