@@ -113,24 +113,30 @@ GROUP BY md5(text)
 
 # 2. MinHash + LSH -------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, perm, minhash): NUM_PERM affine permutations of hash48."""
+def minhash_wide(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{NUM_PERM-1}): NUM_PERM affine permutations of hash48.
+
+    One md5 per shingle; the NUM_PERM permutations are affine maps
+    h_p = (A_p*h + B_p) mod 2^48 with odd A_p (a bijection on Z_2^48),
+    pure integer arithmetic both engines reproduce exactly — 16x fewer
+    md5 evaluations than salting the hash input per permutation.
+    Wide aggregation: NUM_PERM min() columns in one codegen pass with
+    map-side partials; the shuffle carries one wide row per (partition,
+    doc).
+    """
     sh = doc_shingles(docs)
-    # One md5 per shingle; the NUM_PERM permutations are affine maps
-    # h_p = (A_p*h + B_p) mod 2^48 with odd A_p (a bijection on Z_2^48),
-    # pure integer arithmetic both engines reproduce exactly — 16x fewer
-    # md5 evaluations than salting the hash input per permutation.
-    # Wide aggregation: NUM_PERM min() columns in one codegen pass with
-    # map-side partials; the shuffle carries one wide row per (partition,
-    # doc). Unpivot afterwards (tiny).
     hashed = sh.select("doc_id", hash48(F.col("shingle")).alias("h"))
     mins = [
         F.min(F.expr(f"({a} * h + {b}) & {(1 << 48) - 1}")).alias(f"m{p}")
         for p, (a, b) in enumerate(PERM_COEFFS)
     ]
-    wide = hashed.groupBy("doc_id").agg(*mins)
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, perm, minhash) long form — unpivot of :func:`minhash_wide`."""
     stack_args = ", ".join(f"{p}, m{p}" for p in range(NUM_PERM))
-    return wide.select(
+    return minhash_wide(docs).select(
         "doc_id",
         F.expr(f"stack({NUM_PERM}, {stack_args}) as (perm, minhash)"),
     )
@@ -145,45 +151,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew (a degenerate band shared by many docs) is the known hazard at
     scale; AQE skew-join handles moderate cases and the band digest keeps
     join keys small.
+
+    Plan economy: the whole operator is ONE aggregation + ONE self-join.
+    Band digests are flat expressions over the wide signature row (no
+    second groupBy), and the full signature rides through the band join as
+    an array column, so the Jaccard estimate is a zip_with over the matched
+    pair — no join back to a signature table. (The former long-format
+    formulation cost 2 extra shuffles re-joining signatures onto
+    candidates; band-sig strings are byte-identical here, so the oracle is
+    unchanged.)
     """
-    mh = minhash_signatures(_docs(spark, sf_dir)).cache()
-    rows_per_band = NUM_PERM // LSH_BANDS
-    bands = (
-        mh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    rpb = NUM_PERM // LSH_BANDS
+    wide = minhash_wide(_docs(spark, sf_dir))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("perm", "minhash"))),
-                        lambda x: x.minhash.cast("string"),
-                    ),
-                    ",",
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * rpb + i}").cast("string") for i in range(rpb)]
                 )
-            ).alias("sig")
+            ).alias("sig"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = wide.select(
+        "doc_id",
+        F.array(*[F.col(f"m{p}") for p in range(NUM_PERM)]).alias("sig_full"),
+        F.explode(F.array(*band_structs)).alias("bs"),
+    ).select("doc_id", "sig_full", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+            lambda v: v,
         )
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    ma, mb = mh.alias("ma"), mh.alias("mb")
-    est = (
-        cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
-        .join(mb, (F.col("doc_b") == F.col("mb.doc_id")) & (F.col("ma.perm") == F.col("mb.perm")))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum(F.when(F.col("ma.minhash") == F.col("mb.minhash"), 1).otherwise(0))
-                / F.lit(float(NUM_PERM))
-            ).alias("est_jaccard")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig_full").alias("sa"),
+            F.col("b.sig_full").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a", "doc_b", (n_eq / F.lit(float(NUM_PERM))).alias("est_jaccard")
         )
         .filter(F.col("est_jaccard") >= 0.5)
     )
-    return est
 
 
 _DUCK_COEFFS = ", ".join(f"({p}, {a}, {b})" for p, (a, b) in enumerate(PERM_COEFFS))

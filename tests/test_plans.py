@@ -147,6 +147,16 @@ def test_ngram_jaccard_pair_join_input_is_df_capped(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_minhash_lsh_one_agg_one_selfjoin(spark):
+    """MinHash-LSH must stay shuffle-lean: the signature aggregation and
+    the band self-join — no re-join of signatures onto candidates (the
+    long-format formulation cost 2 extra Exchanges)."""
+    from mapreduce_simple_go_spark.operators.dedup import dedup_minhash_lsh
+
+    df = dedup_minhash_lsh(spark, SF_DIR)
+    assert count_operator(df, "Exchange") <= 3
+
+
 def test_q21_top20_uses_take_ordered_no_nlj(spark):
     """The exists/not-exists rewrite must stay equi-join-only (no nested
     loop from the correlated shape) and take its top-20 distributed."""
