@@ -61,6 +61,14 @@ def run_suite(spark, sf_dir: str, passes: int = 1) -> dict[str, float]:
             # operators may cache intermediates (LSH signatures etc.); drop
             # them so one query's working set doesn't pressure the next one's
             spark.catalog.clearCache()
+            # clearCache does NOT free localCheckpoint blocks (dedup_clusters'
+            # iteration lineage); those are released by the ContextCleaner only
+            # once Python drops its DataFrame refs — force that here so one
+            # query's checkpoint blocks don't pressure the next query's heap
+            import gc
+
+            df = None
+            gc.collect()
     return timings
 
 
