@@ -240,3 +240,120 @@ FROM starts
 
 QUERIES["doc_chunks"] = doc_chunks
 ORACLES["doc_chunks"] = DOC_CHUNKS_SQL
+
+
+def inverted_index_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional postings: (word, doc) -> term frequency + position list.
+
+    The full-text-search extension of the reference's doc-level indexer
+    (indexer.go:20-39): phrase and proximity queries need in-document token
+    positions, so the posting carries them. One posexplode + one groupBy on
+    (word, doc_id) — the same single-shuffle shape as the plain index; the
+    per-posting state is bounded by a term's occurrences in ONE document,
+    so no posting-list hot key forms (contrast the doc-level index, where
+    a stop-word's posting spans the corpus).
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    )
+    return (
+        toks.groupBy("word", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("pos_arr"))
+        .select(
+            "word",
+            "doc_id",
+            F.size("pos_arr").cast("long").alias("tf"),
+            F.array_join(
+                F.transform(F.col("pos_arr"), lambda p: p.cast("string")), ","
+            ).alias("positions"),
+        )
+    )
+
+
+INVERTED_INDEX_POS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, {DUCK_TOKENS.format(col='text')} AS t FROM documents
+  ) WHERE len(t) > 0
+),
+occ AS (
+  SELECT doc_id, tp.w AS word, tp.p AS pos
+  FROM (
+    SELECT doc_id,
+           unnest([{{'w': t[i], 'p': i - 1}} for i in range(1, len(t) + 1)]) AS tp
+    FROM toks
+  )
+)
+SELECT word, doc_id,
+       COUNT(*) AS tf,
+       string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+FROM occ
+GROUP BY word, doc_id
+"""
+
+QUERIES["inverted_index_positional"] = inverted_index_positional
+ORACLES["inverted_index_positional"] = INVERTED_INDEX_POS_SQL
+
+
+MIN_DUP_CHUNK_WORDS = 20
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-chunk detector: fixed-window chunks appearing more than once.
+
+    Paragraph-level boilerplate (license headers, navigation chrome,
+    templated intros) repeats ACROSS documents that are not whole-document
+    duplicates — the dedup granularity document-level ops can't see. Groups
+    the doc_chunks windows by content digest and reports every chunk that
+    occurs twice or more, with the occurrence/document counts and the
+    canonical keeper (lexicographically smallest (doc_id, chunk_no)).
+    Short tail fragments (< MIN_DUP_CHUNK_WORDS words) are excluded — they
+    repeat by chance. Shuffle carries (digest, doc_id, chunk_no), never
+    chunk text.
+    """
+    chunks = doc_chunks(spark, sf_dir).filter(
+        F.col("n_words") >= MIN_DUP_CHUNK_WORDS
+    )
+    keep = F.min(F.struct("doc_id", "chunk_no")).alias("keep")
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_digest"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            keep,
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            "chunk_digest",
+            "n_occurrences",
+            "n_docs",
+            F.col("keep.doc_id").alias("keep_doc_id"),
+            F.col("keep.chunk_no").alias("keep_chunk_no"),
+        )
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH chunks AS ({DOC_CHUNKS_SQL}),
+eligible AS (
+  SELECT doc_id, chunk_no, md5(chunk) AS chunk_digest
+  FROM chunks WHERE n_words >= {MIN_DUP_CHUNK_WORDS}
+),
+g AS (
+  SELECT chunk_digest,
+         COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         MIN(doc_id) AS keep_doc_id
+  FROM eligible
+  GROUP BY chunk_digest
+  HAVING COUNT(*) > 1
+)
+SELECT g.chunk_digest, g.n_occurrences, g.n_docs, g.keep_doc_id,
+       (SELECT MIN(e.chunk_no) FROM eligible e
+        WHERE e.chunk_digest = g.chunk_digest AND e.doc_id = g.keep_doc_id)
+         AS keep_chunk_no
+FROM g
+"""
+
+QUERIES["chunk_dedup"] = chunk_dedup
+ORACLES["chunk_dedup"] = CHUNK_DEDUP_SQL
