@@ -529,6 +529,78 @@ QUERIES["dedup_incremental"] = dedup_incremental
 ORACLES["dedup_incremental"] = DEDUP_INCREMENTAL_SQL
 
 
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: supplier-name pairs within edit
+    distance 1, via deletion-neighborhood blocking (the SymSpell scheme).
+
+    Naive edit-distance joins are O(n^2) with a non-equi predicate (a
+    nested loop at any scale). Deletion neighborhoods make it an EQUI-join:
+    each name emits itself plus its len(s) single-character-deletion
+    variants, and any two strings within distance 1 (substitution,
+    insertion, or deletion) provably share at least one variant — a
+    substitution at position i collides on both names' delete-at-i
+    variants; an inserted character collides on the longer name's deletion
+    variant. Candidates then verify with one levenshtein() call. Fan-out is
+    len+1 rows per name — linear, shuffled on short variant strings — and
+    the verify touches candidates only. Distance > 1 would emit deeper
+    deletion neighborhoods (SymSpell generalizes); 1 is the contract here.
+    """
+    supp = _t_supplier(spark, sf_dir)
+    variants = supp.select(
+        "s_name",
+        F.explode(
+            F.array_union(
+                F.expr(
+                    "transform(sequence(1, length(s_name)), i -> "
+                    "concat(substring(s_name, 1, i - 1), "
+                    "substring(s_name, i + 1, length(s_name))))"
+                ),
+                F.array(F.col("s_name")),
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .filter(F.col("a.s_name") < F.col("b.s_name"))
+        .select(
+            F.col("a.s_name").alias("name_a"), F.col("b.s_name").alias("name_b")
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.select(
+        "name_a", "name_b", dist.cast("int").alias("dist")
+    ).filter(F.col("dist") <= 1)
+
+
+def _t_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+
+
+FUZZY_NAME_SQL = """
+WITH vars AS (
+  SELECT s_name,
+         unnest(list_append(
+           [substr(s_name, 1, i - 1) || substr(s_name, i + 1, length(s_name))
+            for i in range(1, length(s_name) + 1)],
+           s_name)) AS v
+  FROM supplier
+),
+cand AS (
+  SELECT DISTINCT a.s_name AS name_a, b.s_name AS name_b
+  FROM vars a JOIN vars b ON a.v = b.v
+  WHERE a.s_name < b.s_name
+)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+QUERIES["fuzzy_name_matches"] = fuzzy_name_matches
+ORACLES["fuzzy_name_matches"] = FUZZY_NAME_SQL
+
+
 MAX_DRIVER_EDGES = 100_000  # a candidate graph this small is union-found on
 # the driver in one collect (few MB); the iterative-join path is the scale
 # route for bigger graphs

@@ -143,6 +143,47 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert {r.label for r in ok.collect()} == {0}
 
 
+def test_fuzzy_name_blocking_matches_brute_force(spark):
+    """Deletion-neighborhood blocking must find EXACTLY the pairs a brute
+    n^2 edit-distance scan finds (completeness is the scheme's whole
+    claim), including insert/delete shapes the fixture's equal-length
+    names never exercise."""
+    from mapreduce_simple_go_spark.operators.dedup import fuzzy_name_matches
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    names = [
+        r.s_name
+        for r in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+    ]
+    want = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(sorted(names))
+        for b in sorted(names)[i + 1 :]
+        if lev(a, b) <= 1
+    }
+    got = {tuple(r) for r in fuzzy_name_matches(spark, SF_DIR).collect()}
+    assert got == want and want
+
+    # synthetic insert/delete/substitute triple through the same plan
+    df = spark.createDataFrame(
+        [("abcd",), ("abd",), ("abxd",), ("zzzz",)], "s_name string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="fuzzy_")
+    df.write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    got2 = {(r.name_a, r.name_b) for r in fuzzy_name_matches(spark, d).collect()}
+    assert got2 == {("abcd", "abd"), ("abcd", "abxd"), ("abd", "abxd")}
+
+
 def test_dedup_clusters_cover_all_paired_docs(spark):
     from mapreduce_simple_go_spark.operators.dedup import (
         dedup_clusters,
