@@ -34,15 +34,35 @@ def _modules():
     return [events, multimodal, sampling, textstats, text, kv, dedup, similarity, relational]
 
 
+# Names hoisted to the very front of the registry regardless of module order.
+# These are queries added after their module's block already overflowed the
+# driver's 50-entry check window (the round-3 relational additions); hoisting
+# displaces twice-verified names, never unverified ones. Remove entries once
+# they have a green CORRECTNESS row.
+_WINDOW_PRIORITY = [
+    "q8_market_share",
+    "q12_ship_delay_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+]
+
+
+def _prioritize(out: dict) -> dict:
+    head = {k: out[k] for k in _WINDOW_PRIORITY if k in out}
+    head.update(out)
+    return head
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _modules():
         out.update(getattr(m, "QUERIES", {}))
-    return out
+    return _prioritize(out)
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _modules():
         out.update(getattr(m, "ORACLES", {}))
-    return out
+    return _prioritize(out)
