@@ -45,6 +45,11 @@ _WINDOW_PRIORITY = [
     "q13_customer_order_distribution",
     "q15_top_supplier",
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q20_part_promotion",
 ]
 
 

@@ -1409,3 +1409,317 @@ LIMIT 20
 
 QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
 ORACLES["q21_waiting_suppliers"] = Q21_SQL
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier per part.
+
+    The literal Q2 scans partsupp for the EUROPE supplier whose
+    ps_supplycost equals the correlated per-part minimum; this fixture has
+    no partsupp, so the observed unit price (l_extendedprice / l_quantity,
+    minimized over a supplier's lineitems) stands in for supply cost — the
+    same correlated-scalar-min shape over a derived part↔supplier bridge.
+    part and the region-filtered supplier dimension broadcast into the one
+    lineitem scan; the pair aggregation is the only fact shuffle, and the
+    per-part minimum runs as a window over the already-small pair
+    aggregate. Exact-equality on the min is safe cross-engine: both
+    engines minimize the identical stream of binary64 quotients.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
+    europe = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(broadcast(europe), nation.n_regionkey == europe.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    unit_cost = F.col("l_extendedprice").cast("double") / F.col(
+        "l_quantity"
+    ).cast("double")
+    pair = (
+        li.join(broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(unit_cost).alias("unit_cost"))
+    )
+    part_min = Window.partitionBy("p_partkey")
+    return (
+        pair.withColumn("min_cost", F.min("unit_cost").over(part_min))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH pair AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'LARGE' AND p_size <= 10 AND r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM (SELECT *, MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost FROM pair)
+WHERE unit_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
+ORACLES["q2_min_cost_supplier"] = Q2_SQL
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style profit by supplier nation and order year.
+
+    The literal Q9 prices cost from ps_supplycost; absent partsupp, the
+    part's retail price times quantity stands in as the cost leg, so
+    profit = discounted revenue − retail cost — identical plan shape:
+    a name-filtered part broadcast pruning the lineitem scan, supplier →
+    nation broadcast for the grouping key, orders joined only for the
+    year. All money arithmetic stays DECIMAL end-to-end (scale-4
+    products, one subtraction) so partial sums are exact and
+    partition-order independent. One fact shuffle (lineitem ⋈ orders) and
+    one partial-aggregated groupBy on (nation, year).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount"))
+    ) - money(F.col("p_retailprice")) * money(F.col("l_quantity"))
+    return (
+        li.join(broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+QUERIES["q9_product_type_profit"] = q9_product_type_profit
+ORACLES["q9_product_type_profit"] = Q9_SQL
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important-stock identification.
+
+    The literal Q11 sums ps_supplycost * ps_availqty per part for one
+    nation's suppliers and keeps parts above a fixed fraction of the
+    national total (a scalar aggregate subquery in HAVING). Here the
+    shipped value (discounted extended price) of NATION_7-supplied lines
+    replaces the stock value — same shape: per-part decimal aggregation,
+    a 1-row global total broadcast back as a cross join, and a
+    fraction-of-total HAVING filter evaluated in binary64 on both
+    engines (identical product, identical comparison).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    value = money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount"))
+    )
+    per_part = (
+        li.join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(value).cast("double").alias("part_value"))
+    )
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.001)
+        .join(broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("p_partkey", "p_name", "part_value")
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, part_value
+FROM per_part
+JOIN part ON l_partkey = p_partkey
+WHERE part_value > (SELECT SUM(part_value) FROM per_part) * 0.001
+ORDER BY part_value DESC, p_partkey
+"""
+
+QUERIES["q11_important_stock"] = q11_important_stock
+ORACLES["q11_important_stock"] = Q11_SQL
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier count per part class.
+
+    The literal Q16 counts distinct partsupp suppliers per
+    (brand, type, size), excluding one brand/type-prefix and
+    complaint-flagged suppliers via NOT IN. The bridge here is the
+    distinct (l_partkey, l_suppkey) pairs observed in lineitem, and the
+    complaint proxy is a negative account balance. Same shape: a
+    broadcast anti-join for the NOT IN, a broadcast dimension filter,
+    then a distinct-aggregation — the count-distinct's expand is the one
+    fact shuffle; everything else is map-side.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part_f = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9") & (~F.col("p_type").like("PROMO%"))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_type NOT LIKE 'PROMO%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+QUERIES["q16_supplier_part_count"] = q16_supplier_part_count
+ORACLES["q16_supplier_part_count"] = Q16_SQL
+
+
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style suppliers holding excess promotable stock.
+
+    The literal Q20 keeps suppliers whose availqty for a name-prefixed
+    part exceeds half that part's shipped quantity in a year (nested IN
+    subqueries over partsupp → lineitem). Without availqty, a supplier
+    qualifies when its own shipped quantity of such a part exceeds half
+    the part's total across all suppliers in the window — i.e. it
+    dominates that part's supply. Same nested-semi-join shape: the
+    name-filtered part broadcast prunes the scan, the (part, supplier)
+    aggregation is the one fact shuffle, the per-part total runs as a
+    window over the small pair aggregate, and the qualifying supplier
+    keys semi-join the supplier dimension. The half-threshold compare is
+    binary64 (0.5 scaling is exact) on identical decimal-summed inputs.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part_f = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    pair = (
+        li.join(broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(money(F.col("l_quantity"))).alias("pair_qty"))
+    )
+    part_total = Window.partitionBy("l_partkey")
+    qualifying = (
+        pair.withColumn("total_qty", F.sum("pair_qty").over(part_total))
+        .filter(
+            F.col("pair_qty").cast("double")
+            > F.col("total_qty").cast("double") * 0.5
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(broadcast(qualifying), supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pair_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+qualifying AS (
+  SELECT DISTINCT l_suppkey
+  FROM (SELECT *, SUM(pair_qty) OVER (PARTITION BY l_partkey) AS total_qty FROM pair)
+  WHERE CAST(pair_qty AS DOUBLE) > CAST(total_qty AS DOUBLE) * 0.5
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT l_suppkey FROM qualifying)
+ORDER BY s_name
+"""
+
+QUERIES["q20_part_promotion"] = q20_part_promotion
+ORACLES["q20_part_promotion"] = Q20_SQL
