@@ -50,6 +50,8 @@ _WINDOW_PRIORITY = [
     "q11_important_stock",
     "q16_supplier_part_count",
     "q20_part_promotion",
+    "dedup_incremental",
+    "fuzzy_name_matches",
 ]
 
 
