@@ -176,3 +176,58 @@ def test_q19_factors_equi_join_from_disjunction(spark):
     plan = formatted_plan(q19_bracket_revenue(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_all_dimension_joins_broadcast(spark):
+    """q2's four joins (part, supplier, nation, region) must all broadcast;
+    the only shuffles are the pair aggregation and the per-part window."""
+    from mapreduce_simple_go_spark.operators.relational import q2_min_cost_supplier
+
+    plan = formatted_plan(q2_min_cost_supplier(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q9_single_fact_shuffle(spark):
+    """q9 joins four dimensions broadcast-side; at most the lineitem ⋈
+    orders join shuffles, and the (nation, year) aggregation is partial."""
+    from mapreduce_simple_go_spark.operators.relational import q9_product_type_profit
+
+    df = q9_product_type_profit(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert has_partial_aggregation(df)
+
+
+def test_q11_total_is_broadcast_single_row(spark):
+    """q11's fraction-of-total HAVING must evaluate as a 1-row broadcast
+    (BroadcastNestedLoopJoin over the global total), never a shuffle of
+    the per-part aggregate against itself."""
+    from mapreduce_simple_go_spark.operators.relational import q11_important_stock
+
+    plan = formatted_plan(q11_important_stock(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """q16's complaint-supplier NOT IN must compile to a broadcast
+    anti-join on the lineitem side, not a shuffled subquery."""
+    from mapreduce_simple_go_spark.operators.relational import q16_supplier_part_count
+
+    plan = formatted_plan(q16_supplier_part_count(spark, SF_DIR))
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_semi_join_broadcasts_qualifying_keys(spark):
+    """q20's supplier semi-join must broadcast the (small) qualifying-key
+    set; no sort-merge join anywhere in the plan."""
+    from mapreduce_simple_go_spark.operators.relational import q20_part_promotion
+
+    plan = formatted_plan(q20_part_promotion(spark, SF_DIR))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
