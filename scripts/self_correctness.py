@@ -1,0 +1,79 @@
+"""Repo-side replica of the driver's full correctness gate, for ALL queries.
+
+The round driver verifies the first 50 registry entries; this sweep runs
+every registered query against its DuckDB oracle at the driver's scale
+factor and records the same three verdicts (rows/schema/hash) per name, so
+the registry tail has on-record evidence too.
+
+Usage:  python scripts/self_correctness.py [out.json]
+Env:    SPARK_GRAFT_TEST_SF_DIR (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import traceback
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapreduce_simple_go_spark.operators import all_oracles, all_queries  # noqa: E402
+from mapreduce_simple_go_spark.session import get_spark  # noqa: E402
+from tests.conftest import TABLES, rows_key  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_SELF_r03.json"
+    spark = get_spark(app_name="self-correctness")
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    queries, oracles = all_queries(), all_oracles()
+    results: dict[str, dict] = {}
+    for name, fn in queries.items():
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            odf = duck.execute(oracles[name]).df()
+            rec["spark_rows"], rec["oracle_rows"] = len(sdf), len(odf)
+            rec["rows_match"] = len(sdf) == len(odf)
+            rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+            s_rows = rows_key(list(sdf.columns), sdf.itertuples(index=False, name=None))
+            o_rows = rows_key(list(odf.columns), odf.itertuples(index=False, name=None))
+            rec["hash_match"] = s_rows == o_rows
+        except Exception:
+            rec["err"] = traceback.format_exc(limit=3)
+        results[name] = rec
+        spark.catalog.clearCache()
+        flags = "".join(
+            "+" if rec[k] else "-" for k in ("rows_match", "schema_match", "hash_match")
+        )
+        print(f"{flags} {name}" + (f"  ERR" if rec["err"] else ""), flush=True)
+    spark.stop()
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    n_green = sum(
+        1
+        for r in results.values()
+        if r["rows_match"] and r["schema_match"] and r["hash_match"]
+    )
+    print(f"\n{n_green}/{len(results)} green -> {out_path}")
+    return 0 if n_green == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
