@@ -52,6 +52,10 @@ _WINDOW_PRIORITY = [
     "q20_part_promotion",
     "dedup_incremental",
     "fuzzy_name_matches",
+    "repetition_filter",
+    "decontaminate_overlap",
+    "pack_sequences",
+    "kv_stream_final_state",
 ]
 
 

@@ -770,3 +770,96 @@ FROM reach GROUP BY node
 
 QUERIES["dedup_clusters"] = dedup_clusters
 ORACLES["dedup_clusters"] = DEDUP_CLUSTERS_SQL
+
+
+# 8. Benchmark decontamination -------------------------------------------------
+
+DECON_N = 5  # long shingles, as real decontamination pipelines use (8-13
+             # word n-grams at web scale) — short ones collide by chance
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark overlap check: flag training docs sharing any
+    DECON_N-gram with the held-out benchmark slice (doc_id % 20 == 0).
+
+    The standard corpus-hygiene pass before an LLM train run: exact
+    n-gram collision against the eval set. Per training doc: its distinct
+    shingle count, how many of those appear in ANY benchmark doc, and the
+    contamination verdict (>= 1 shared shingle).
+
+    Scale shape: the benchmark set is a small fraction by construction,
+    so its distinct-shingle set broadcasts; the training side is never
+    shuffled for the probe itself — the semi-join is map-side, and the
+    per-doc rollup rides the doc_id partitioning that doc_shingles
+    already established. Token-less docs survive via the left join with
+    zero counts.
+    """
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 20 == 0
+    ev_sh = (
+        doc_shingles(docs.filter(is_eval), DECON_N).select("shingle").distinct()
+    )
+    tr_sh = doc_shingles(docs.filter(~is_eval), DECON_N)
+    per_doc = tr_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                9,
+            ).alias("overlap_frac"),
+            (F.coalesce("n_overlap", F.lit(0)) >= 1).alias("contaminated"),
+        )
+    )
+
+
+_DUCK_DECON_SHINGLES = (
+    "[array_to_string(t[i:i+{nm1}], ' ') for i in range(1, len(t) - {nm1} + 1)]"
+).format(nm1=DECON_N - 1)
+
+DECONTAMINATE_SQL = f"""
+WITH tr_sh AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_DECON_SHINGLES})) AS shingle
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents WHERE doc_id % 20 <> 0)
+  WHERE len(t) >= {DECON_N}
+),
+ev_sh AS (
+  SELECT DISTINCT unnest(list_distinct({_DUCK_DECON_SHINGLES})) AS shingle
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents WHERE doc_id % 20 = 0)
+  WHERE len(t) >= {DECON_N}
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM tr_sh GROUP BY doc_id
+),
+overlap AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM tr_sh WHERE shingle IN (SELECT shingle FROM ev_sh)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_shingles, 0) AS n_shingles,
+       COALESCE(o.n_overlap, 0) AS n_overlap,
+       round(COALESCE(o.n_overlap, 0)
+             / CAST(GREATEST(COALESCE(p.n_shingles, 0), 1) AS DOUBLE), 9) AS overlap_frac,
+       COALESCE(o.n_overlap, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+LEFT JOIN overlap o ON d.doc_id = o.doc_id
+"""
+
+QUERIES["decontaminate_overlap"] = decontaminate_overlap
+ORACLES["decontaminate_overlap"] = DECONTAMINATE_SQL

@@ -377,3 +377,102 @@ near AS (
 
 QUERIES["training_corpus_pipeline"] = training_corpus_pipeline
 ORACLES["training_corpus_pipeline"] = _training_sql()
+
+
+# Sequence packing -------------------------------------------------------------
+
+PACK_CAP = 512  # tokens per training sequence
+PACK_BUCKET = 1000  # docs per prefix-sum bucket
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-style sequence packing: assign each doc its training
+    sequence index and intra-sequence offset.
+
+    GPT-style pretraining concatenates a source's token stream in a fixed
+    document order and cuts it every PACK_CAP tokens; a doc belongs to the
+    sequence containing its first token. That is an exclusive prefix sum
+    of per-doc token counts — computed here as a TWO-LEVEL prefix sum so
+    it scales: per-bucket token subtotals (PACK_BUCKET docs per bucket)
+    get their running offsets in a tiny per-source window, while the
+    per-doc cumsum windows run inside (source, bucket) partitions —
+    thousands of small parallel windows instead of one giant per-source
+    sort. At 100 TB no single window ever sees more than PACK_BUCKET
+    rows; the bucket-level window sees n_docs/PACK_BUCKET rows.
+    Everything is exact integer arithmetic — bit-identical cross-engine.
+    """
+    d = _docs(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(ws).alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
+    )
+    per_bucket = base.groupBy("source", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_sum")
+    )
+    w_bucket = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_offsets = per_bucket.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("bucket_sum").over(w_bucket), F.lit(0)).alias(
+            "bucket_offset"
+        ),
+    )
+    w_doc = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(bucket_offsets, ["source", "bucket"])
+        .withColumn(
+            "cum_before",
+            F.col("bucket_offset")
+            + F.coalesce(F.sum("n_tokens").over(w_doc), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("cum_before") / PACK_CAP).cast("long").alias("seq_id"),
+            (F.col("cum_before") % PACK_CAP).cast("long").alias("seq_offset"),
+        )
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_tokens,
+         CAST(FLOOR(doc_id / {PACK_BUCKET}) AS BIGINT) AS bucket
+  FROM documents
+),
+bucket_offsets AS (
+  SELECT source, bucket,
+         COALESCE(SUM(bucket_sum) OVER (PARTITION BY source ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bucket_offset
+  FROM (SELECT source, bucket, SUM(n_tokens) AS bucket_sum
+        FROM base GROUP BY source, bucket)
+),
+packed AS (
+  SELECT b.doc_id, b.source, b.n_tokens,
+         o.bucket_offset
+         + COALESCE(SUM(b.n_tokens) OVER (PARTITION BY b.source, b.bucket
+                     ORDER BY b.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM base b JOIN bucket_offsets o ON b.source = o.source AND b.bucket = o.bucket
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(cum_before / {PACK_CAP}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {PACK_CAP} AS BIGINT) AS seq_offset
+FROM packed
+"""
+
+QUERIES["pack_sequences"] = pack_sequences
+ORACLES["pack_sequences"] = PACK_SEQUENCES_SQL

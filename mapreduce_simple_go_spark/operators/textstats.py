@@ -496,3 +496,105 @@ LIMIT {NGRAM_TOP}
 
 QUERIES["ngram_counts"] = ngram_counts
 ORACLES["ngram_counts"] = NGRAM_COUNTS_SQL
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals + keep verdict.
+
+    Corpus-build quality rules (Rae et al. 2021 §A1.1) flag documents
+    dominated by repeated fragments. The fixture's documents are
+    single-line, so the line-level rules specialize to token-level ones:
+    the most frequent word's share, the most frequent bigram's share, and
+    the type-token ratio. keep = top_word_frac <= 0.12 AND
+    distinct_ratio >= 0.35 (thresholds bracket this corpus's medians, so
+    the verdict actually splits).
+
+    Plan shape: one posexplode, counts per (doc, gram) partially
+    aggregated before the doc_id rollup — the bigram branch reuses
+    ngram_counts' window-lead shingling (whole-stage codegen, no
+    interpreted HOF). Both branches end keyed on doc_id, so the final
+    join co-partitions; nothing is collected. All ratios are binary64
+    divisions of exact integer counts — bit-identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    word_counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    per_doc_words = word_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("bigram"),
+            F.lead("tok", 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc_bigrams = bigrams.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+    top_word_frac = F.col("top_word") / F.col("n_tokens").cast("double")
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens").cast("double")
+    top_bigram_frac = F.col("top_bigram") / F.greatest(
+        F.col("n_bigrams"), F.lit(1)
+    ).cast("double")
+    return (
+        per_doc_words.join(per_doc_bigrams, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(top_word_frac, 9).alias("top_word_frac"),
+            F.round(distinct_ratio, 9).alias("distinct_ratio"),
+            F.round(top_bigram_frac, 9).alias("top_bigram_frac"),
+            ((top_word_frac <= 0.12) & (distinct_ratio >= 0.35)).alias("keep"),
+        )
+    )
+
+
+REPETITION_FILTER_SQL = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{L}]+'), w -> w <> '') AS ts
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, ts[pos] AS tok, pos
+  FROM base, unnest(generate_series(1, len(ts))) AS u(pos)
+),
+word_counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+),
+per_doc_words AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_word
+  FROM word_counts GROUP BY doc_id
+),
+bigrams AS (
+  SELECT doc_id, bigram, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram,
+               LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS _tail
+        FROM toks)
+  WHERE _tail IS NOT NULL
+  GROUP BY 1, 2
+),
+per_doc_bigrams AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram FROM bigrams GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.n_tokens AS BIGINT) AS n_tokens,
+       round(w.top_word / CAST(w.n_tokens AS DOUBLE), 9) AS top_word_frac,
+       round(w.n_distinct / CAST(w.n_tokens AS DOUBLE), 9) AS distinct_ratio,
+       round(b.top_bigram / CAST(GREATEST(b.n_bigrams, 1) AS DOUBLE), 9) AS top_bigram_frac,
+       (w.top_word / CAST(w.n_tokens AS DOUBLE) <= 0.12
+        AND w.n_distinct / CAST(w.n_tokens AS DOUBLE) >= 0.35) AS keep
+FROM per_doc_words w LEFT JOIN per_doc_bigrams b ON w.doc_id = b.doc_id
+"""
+
+QUERIES["repetition_filter"] = repetition_filter
+ORACLES["repetition_filter"] = REPETITION_FILTER_SQL
