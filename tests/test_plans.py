@@ -231,3 +231,30 @@ def test_q20_semi_join_broadcasts_qualifying_keys(spark):
     plan = formatted_plan(q20_part_promotion(spark, SF_DIR))
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_probe_is_broadcast_semi_join(spark):
+    """The benchmark shingle set must broadcast; the training side is
+    probed map-side — no shuffle of train shingles for the membership
+    test, no sort-merge join anywhere."""
+    from mapreduce_simple_go_spark.operators.dedup import decontaminate_overlap
+
+    plan = formatted_plan(decontaminate_overlap(spark, SF_DIR))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_windows_are_bucketed(spark):
+    """The per-doc prefix-sum window must partition by (source, bucket),
+    never by source alone — one giant per-source window is the
+    single-partition trap at scale. The source-only window may exist only
+    at the bucket level (n_docs/PACK_BUCKET rows)."""
+    from mapreduce_simple_go_spark.operators.sampling import pack_sequences
+
+    plan = formatted_plan(pack_sequences(spark, SF_DIR))
+    # the doc-level cumsum: partition spec lists bucket alongside source
+    assert "Window" in plan
+    doc_win = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln and "n_tokens" in ln
+    ]
+    assert any("bucket" in ln for ln in doc_win), doc_win
