@@ -56,6 +56,7 @@ _WINDOW_PRIORITY = [
     "decontaminate_overlap",
     "pack_sequences",
     "kv_stream_final_state",
+    "ann_srp_topk",
 ]
 
 

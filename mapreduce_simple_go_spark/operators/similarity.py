@@ -567,3 +567,177 @@ FROM n GROUP BY label
 
 QUERIES["embedding_norm_stats"] = embedding_norm_stats
 ORACLES["embedding_norm_stats"] = EMB_NORM_STATS_SQL
+
+
+# SRP-LSH ANN ------------------------------------------------------------------
+
+SRP_BITS = 16
+SRP_BANDS = 4  # 4 bands x 4 bits
+_SRP_ROWS_PER_BAND = SRP_BITS // SRP_BANDS
+
+
+def _srp_signs() -> list[list[int]]:
+    """Deterministic Rademacher (+/-1) projection matrix, SRP_BITS x EMBED_DIM.
+
+    Derived from md5 so both engines see the SAME hyperplanes: the matrix
+    is generated once here and embedded as literals in the Spark plan and
+    the DuckDB SQL alike — no cross-engine RNG to reconcile.
+    """
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+            for i in range(EMBED_DIM)
+        ]
+        for j in range(SRP_BITS)
+    ]
+
+
+def _srp_signatures(df: DataFrame) -> DataFrame:
+    """(vec_id, embedding, bands[SRP_BANDS]) via one Arrow-batched pass.
+
+    Each projection accumulates dimension-by-dimension (acc += A[:, i] *
+    sign_ji, i ascending) — numpy vectorizes only ACROSS rows, so per row
+    the IEEE sequence is exactly the oracle's sequential list_reduce fold
+    and the sign bit (proj >= 0) agrees bit-for-bit (the same argument as
+    _score_pairs_np). A 16x64-term column-expression chain would be
+    semantically identical but measured ~15 s at sf0.1 in Catalyst
+    analysis/codegen alone; this pass is ~0.3 s. Band values pack
+    _SRP_ROWS_PER_BAND sign bits into an integer. Scan-side: no shuffle,
+    nothing wider than the input row plus 4 longs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    signs = np.array(_srp_signs(), dtype=np.float64)
+    rpb = _SRP_ROWS_PER_BAND
+
+    def go(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n = len(A)
+            bits = np.zeros((SRP_BITS, n), dtype=np.int64)
+            for j in range(SRP_BITS):
+                acc = np.zeros(n)
+                for i in range(EMBED_DIM):
+                    acc += A[:, i] * signs[j, i]
+                bits[j] = acc >= 0
+            bands = np.zeros((SRP_BANDS, n), dtype=np.int64)
+            for b in range(SRP_BANDS):
+                for m in range(rpb):
+                    bands[b] += bits[b * rpb + m] << (rpb - 1 - m)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "bands": list(bands.T),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        go, schema="vec_id long, embedding array<float>, bands array<long>"
+    )
+
+
+def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k via signed random projections.
+
+    The second scale path next to IVF (ann_ivf_topk): 16 hyperplane sign
+    bits per vector, banded 4x4 — vectors agreeing with a query on ALL
+    bits of ANY band become candidates (P[bit agree] = 1 - theta/pi, the
+    SRP guarantee), then candidates are scored exactly and ranked.
+
+    Scale shape: signatures are computed scan-side in one Arrow batch pass
+    (zero shuffle); the query band table is tiny — its signatures come
+    from a pre-filtered 1/QUERY_MOD scan — and broadcasts, so candidate
+    generation is a map-side equi-join on (band, value) — the base table
+    is never shuffled for probing. Only the deduped candidate pairs (a
+    vanishing fraction of n x q) reach the exact scorer and the per-query
+    top-k window. Unlike IVF there is no centroid state at all — the
+    "index" is 16 fixed hyperplanes, so incremental ingest needs no
+    retraining.
+    """
+    base = _emb(spark, sf_dir)
+    sigs = _srp_signatures(base).select(
+        "vec_id",
+        "embedding",
+        F.posexplode(F.col("bands")).alias("band_idx", "band_val"),
+    )
+    q_sigs = _srp_signatures(
+        base.filter(F.col("vec_id") % QUERY_MOD == 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.posexplode(F.col("bands")).alias("q_band_idx", "q_band_val"),
+    )
+    cand = (
+        sigs.join(
+            broadcast(q_sigs),
+            (F.col("band_idx") == F.col("q_band_idx"))
+            & (F.col("band_val") == F.col("q_band_val"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "q_emb", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = _score_pairs_np(cand, "q_emb", "embedding", ["query_id", "vec_id"]).select(
+        "query_id", "vec_id", F.round(F.col("raw"), 9).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _duck_srp_bands() -> str:
+    """SQL expression list mirroring _srp_signatures: one left-fold
+    projection per bit, packed into SRP_BANDS integer band values."""
+    signs = _srp_signs()
+    band_exprs = []
+    for b in range(SRP_BANDS):
+        bit_terms = []
+        for m in range(_SRP_ROWS_PER_BAND):
+            j = b * _SRP_ROWS_PER_BAND + m
+            lst = "[" + ", ".join(str(float(s)) for s in signs[j]) + "]"
+            proj = (
+                f"list_reduce(list_transform(range(1, {EMBED_DIM} + 1), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({lst})[i]), (x, y) -> x + y)"
+            )
+            bit_terms.append(
+                f"CAST({proj} >= 0 AS INTEGER) * {1 << (_SRP_ROWS_PER_BAND - 1 - m)}"
+            )
+        band_exprs.append(" + ".join(bit_terms))
+    return ", ".join(band_exprs)
+
+
+ANN_SRP_SQL = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, u.band_idx - 1 AS band_idx, bands[u.band_idx] AS band_val
+  FROM (SELECT vec_id, embedding, [{_duck_srp_bands()}] AS bands FROM embeddings),
+       unnest(generate_series(1, {SRP_BANDS})) AS u(band_idx)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, q.embedding AS q_emb, s.vec_id, s.embedding
+  FROM sigs s
+  JOIN (SELECT * FROM sigs WHERE vec_id % {QUERY_MOD} = 0) q
+    ON s.band_idx = q.band_idx AND s.band_val = q.band_val AND s.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT query_id, vec_id, {duck_cosine('q_emb', 'embedding')} AS cosine FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+QUERIES["ann_srp_topk"] = ann_srp_topk
+ORACLES["ann_srp_topk"] = ANN_SRP_SQL

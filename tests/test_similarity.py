@@ -104,3 +104,24 @@ def test_brute_near_dup_size_gate_delegates_to_ivf(spark):
     gated = embedding_near_dup(spark, SF_DIR, max_brute_rows=1)
     ivf = embedding_near_dup_ivf(spark, SF_DIR)
     assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_srp_recall_vs_brute_force(spark):
+    """SRP-LSH banded buckets must recover a meaningful share of the exact
+    top-k — 4-bit bands over 16 sign bits collide for near neighbors with
+    probability (1 - theta/pi)^4 per band, well above random."""
+    from mapreduce_simple_go_spark.operators.similarity import ann_srp_topk
+
+    exact = ann_cosine_topk(spark, SF_DIR).collect()
+    approx = ann_srp_topk(spark, SF_DIR).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / TOP_K for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"SRP mean recall {mean_recall:.2f} too low"
