@@ -35,28 +35,22 @@ def _modules():
 
 
 # Names hoisted to the very front of the registry regardless of module order.
-# These are queries added after their module's block already overflowed the
-# driver's 50-entry check window (the round-3 relational additions); hoisting
-# displaces twice-verified names, never unverified ones. Remove entries once
-# they have a green CORRECTNESS row.
+# Policy (per round-3 ADVICE): the window holds (a) any name without a green
+# driver CORRECTNESS row, and (b) any operator whose code changed in the
+# current round — a self-sweep is not an independent verdict. Names rotate
+# out only once a green row exists for the code at HEAD.
 _WINDOW_PRIORITY = [
-    "q8_market_share",
-    "q12_ship_delay_priority",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_supplier_part_count",
-    "q20_part_promotion",
-    "dedup_incremental",
-    "fuzzy_name_matches",
-    "repetition_filter",
-    "decontaminate_overlap",
-    "pack_sequences",
+    # round-4 fixes for the two r3 hash mismatches (int64/float64 dtype split)
+    "events_props_json",
+    "user_event_pivot",
+    # rewritten in round 3, never inside a driver window since the rewrite
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_ivf_topk",
+    "embedding_near_dup_ivf",
+    # rewritten in round 4 (stateful-fold versioning; see kv.py)
     "kv_stream_final_state",
-    "ann_srp_topk",
 ]
 
 

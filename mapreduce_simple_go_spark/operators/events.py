@@ -192,7 +192,10 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
-            F.sum("k").alias("sum_k"),
+            # coalesce+long on BOTH engines: DuckDB's SUM(BIGINT) is HUGEINT,
+            # which lands in pandas as float64 ("99111.0" vs Spark's "99111")
+            # and fails the driver's stringified-cell hash.
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
             F.countDistinct("k").alias("n_distinct_k"),
         )
     )
@@ -200,7 +203,7 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_PROPS_JSON_SQL = """
 SELECT event_type,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(COALESCE(SUM(CAST(props->>'k' AS BIGINT)), 0) AS BIGINT) AS sum_k,
        COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
 FROM events
 GROUP BY event_type
@@ -211,20 +214,27 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT coverage: per-user event counts spread into one column per type."""
     ev = load_events(spark, sf_dir)
     types = ["click", "view", "purchase", "signup", "error"]
-    return (
+    piv = (
         ev.groupBy("user_id")
         .pivot("event_type", types)
         .agg(F.count(F.lit(1)))
+    )
+    # A user with zero events of a type gets NULL from pivot (Spark) and NULL
+    # from SUM(CASE...) (DuckDB, as float64 NaN via HUGEINT) — coalesce to a
+    # plain bigint 0 on both engines so the hashed cells agree.
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
     )
 
 
 USER_EVENT_PIVOT_SQL = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-       SUM(CASE WHEN event_type = 'view' THEN 1 END) AS view,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
-       SUM(CASE WHEN event_type = 'error' THEN 1 END) AS error
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
 FROM events
 GROUP BY user_id
 """

@@ -302,7 +302,10 @@ def kv_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a batch twin. The log is staged as one seq-sorted parquet
     file (arrival order = linearization order, the stream's contract); the
     memory-sink table name is unique per invocation so repeated runs in one
-    session don't collide.
+    session don't collide. Final state per key = the max-``version`` row
+    (version = max seq applied, emitted by the stateful fold itself) —
+    correct for any micro-batch split of the drain; sink row order is never
+    consulted.
     """
     import shutil
     import tempfile
@@ -326,12 +329,12 @@ def kv_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     # update-mode memory sink appends one row per (key, micro-batch);
-    # the LAST update per key is the final state
+    # the max-version emission per key is the final state
     return spark.sql(
         f"""
         SELECT key, state FROM (
-          SELECT key, state, row_number() OVER (PARTITION BY key ORDER BY rn DESC) AS r
-          FROM (SELECT key, state, monotonically_increasing_id() AS rn FROM {name})
+          SELECT key, state, row_number() OVER (PARTITION BY key ORDER BY version DESC) AS r
+          FROM {name}
         ) WHERE r = 1
         """
     )

@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
 def whole_text_files(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -28,19 +28,32 @@ def whole_text_files(spark: SparkSession, path_glob: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts`` normalized to TimestampType.
 
-    The fixture writes TIMESTAMP(NANOS); with nanosAsLong the column arrives
-    as long nanoseconds. Integer division (``div``) truncates to microseconds
-    exactly like readers that downcast ns->us (e.g. DuckDB). Float division
-    would be wrong: epoch-nanos exceed double's 2^53 integer range.
+    Fixture generations have carried three physical forms for ``ts`` and all
+    must land on plain TIMESTAMP (session TZ is UTC) so functions like
+    unix_micros/window behave identically:
+
+    - TIMESTAMP(NANOS): with the legacy nanosAsLong conf the column arrives
+      as long nanoseconds; ``div`` truncates to micros exactly like readers
+      that downcast ns->us (e.g. DuckDB). Float division would be wrong:
+      epoch-nanos exceed double's 2^53 integer range.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ;
+      cast to TIMESTAMP interprets the wall clock in the UTC session TZ —
+      the same naive-as-UTC reading DuckDB applies.
+    - TIMESTAMP(MICROS, adjusted): already TimestampType.
     """
-    # Self-contained under ANY session: the fixture's physical type
-    # TIMESTAMP(NANOS) is rejected by a vanilla reader, so the legacy
-    # nanos-as-long conf must be on for this read. It is runtime-settable,
-    # so set it here rather than relying on session construction
-    # (session.get_spark also sets it, but callers may hand us a plain
-    # SparkSession -- e.g. the external correctness harness).
+    # Self-contained under ANY session: nanosAsLong is runtime-settable, so
+    # set it here rather than relying on session construction (session.
+    # get_spark also sets it, but callers may hand us a plain SparkSession
+    # -- e.g. the external correctness harness).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if isinstance(ev.schema["ts"].dataType, LongType):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(ev)
+
+
+def _normalize_ts(ev: DataFrame, col: str = "ts") -> DataFrame:
+    t = ev.schema[col].dataType
+    if isinstance(t, LongType):
+        return ev.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(t, TimestampNTZType):
+        return ev.withColumn(col, F.col(col).cast("timestamp"))
     return ev

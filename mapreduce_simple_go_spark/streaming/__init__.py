@@ -35,14 +35,14 @@ def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     TimestampType exactly like sources.load_events.
     """
     # Same session-independence contract as sources.load_events: the
-    # fixture's TIMESTAMP(NANOS) physical type needs the legacy conf on,
-    # and it is runtime-settable.
+    # fixture's ts physical type has varied across generations (NANOS-as-
+    # long, MICROS-NTZ, MICROS); normalize all of them to TimestampType.
+    from ..sources import _normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src_dir).schema
     ev = spark.readStream.schema(schema).parquet(src_dir)
-    if isinstance(ev.schema["ts"].dataType, LongType):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    return _normalize_ts(ev)
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -63,9 +63,22 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-_KV_STATE_SCHEMA = StructType([StructField("state", StringType())])
+# State/output schema v2: both carry ``version`` — the max seq applied to
+# the key so far. Downstream consumers pick the row with max version per key
+# instead of trusting memory-sink row order (read-time partition order is not
+# a documented guarantee of batch append order once a drain spans multiple
+# micro-batches). NOTE: adding the field changed the state schema —
+# applyInPandasWithState does not migrate state, so checkpoints written by
+# the single-field v1 schema need a fresh checkpoint dir.
+_KV_STATE_SCHEMA = StructType(
+    [StructField("state", StringType()), StructField("version", LongType())]
+)
 _KV_OUT_SCHEMA = StructType(
-    [StructField("key", StringType()), StructField("state", StringType())]
+    [
+        StructField("key", StringType()),
+        StructField("state", StringType()),
+        StructField("version", LongType()),
+    ]
 )
 
 
@@ -76,9 +89,11 @@ def _kv_fold(
 
     Reference semantics (models/kv.go:47-53): put overwrites, append
     concatenates with no delimiter. Ops inside the batch are applied in seq
-    order; state persists across batches.
+    order; state persists across batches. ``version`` = max seq applied —
+    monotone across micro-batches, so "max version per key" identifies the
+    final emission without relying on sink row order.
     """
-    (current,) = state.get if state.exists else ("",)
+    current, version = state.get if state.exists else ("", -1)
     # A key's ops within one micro-batch may span several Arrow record
     # batches; materialize them all and sort ONCE so the fold follows
     # global seq order, not per-chunk arrival order. Memory stays bounded
@@ -92,8 +107,9 @@ def _kv_fold(
                 current = value
             elif op == "append":
                 current = current + value
-    state.update((current,))
-    yield pd.DataFrame({"key": [key[0]], "state": [current]})
+        version = max(version, int(allops["seq"].max()))
+    state.update((current, version))
+    yield pd.DataFrame({"key": [key[0]], "state": [current], "version": [version]})
 
 
 def kv_append_state(ops: DataFrame) -> DataFrame:
@@ -102,7 +118,8 @@ def kv_append_state(ops: DataFrame) -> DataFrame:
     ``ops`` needs columns (seq, key, op, value). Within a micro-batch a
     key's ops apply in seq order; across batches arrival order is the
     stream order — the same "linearization order = arrival order" contract
-    the reference's Raft log would provide.
+    the reference's Raft log would provide. Output rows carry ``version``
+    (max seq applied); the final state per key is the max-version row.
     """
     return ops.groupBy("key").applyInPandasWithState(
         _kv_fold,
@@ -113,8 +130,17 @@ def kv_append_state(ops: DataFrame) -> DataFrame:
     )
 
 
+# v3 state tuple (state, last_ops JSON, version). Schema history: v1 stored
+# last_op_id Long, v2 a per-client JSON table, v3 adds version. State schemas
+# are NOT migration-checked by applyInPandasWithState — restoring a
+# checkpoint written under an older tuple shape will fail or misread state,
+# so a version bump here always requires a fresh checkpoint directory.
 _KV_DEDUP_STATE_SCHEMA = StructType(
-    [StructField("state", StringType()), StructField("last_ops", StringType())]
+    [
+        StructField("state", StringType()),
+        StructField("last_ops", StringType()),
+        StructField("version", LongType()),
+    ]
 )
 
 
@@ -137,10 +163,10 @@ def _kv_fold_dedup(
     import json
 
     if state.exists:
-        current, last_ops_json = state.get
+        current, last_ops_json, version = state.get
         last_ops: dict[str, int] = json.loads(last_ops_json)
     else:
-        current, last_ops = "", {}
+        current, last_ops, version = "", {}, -1
     frames = [pdf for pdf in pdfs if len(pdf)]
     if frames:
         allops = pd.concat(frames, ignore_index=True).sort_values("seq")
@@ -157,8 +183,9 @@ def _kv_fold_dedup(
                 current = value
             elif op == "append":
                 current = current + value
-    state.update((current, json.dumps(last_ops)))
-    yield pd.DataFrame({"key": [key[0]], "state": [current]})
+        version = max(version, int(allops["seq"].max()))
+    state.update((current, json.dumps(last_ops), version))
+    yield pd.DataFrame({"key": [key[0]], "state": [current], "version": [version]})
 
 
 def kv_append_state_dedup(ops: DataFrame) -> DataFrame:

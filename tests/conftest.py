@@ -57,7 +57,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.17g}"
+        # repr keeps the trailing ".0" on integral floats, so an int64-vs-
+        # float64 dtype split between engines (e.g. DuckDB HUGEINT -> float64)
+        # fails here just like it fails the driver's stringified-cell hash.
+        return repr(float(v))  # float(): numpy 2.x repr wraps scalars
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return str(v)

@@ -124,8 +124,7 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     got = sorted_rows(
         spark.sql(
             "SELECT key, state FROM (SELECT key, state, row_number() OVER "
-            "(PARTITION BY key ORDER BY rn DESC) r FROM (SELECT key, state, "
-            "monotonically_increasing_id() rn FROM kv_dedup_mem)) WHERE r = 1"
+            "(PARTITION BY key ORDER BY version DESC) r FROM kv_dedup_mem) WHERE r = 1"
         )
     )
     want = sorted_rows(kv_final_state_dedup(spark, SF_DIR))

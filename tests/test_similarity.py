@@ -45,7 +45,7 @@ def test_minhash_finds_planted_near_dups(spark):
     """Every high-Jaccard pair (>=0.9 exact) must appear as a MinHash
     candidate, and the estimate must be within 0.35 of exact."""
     exact = {
-        (r.doc_a, r.doc_b): r.jaccard
+        (r.doc_a, r.doc_b): r.capped_jaccard
         for r in dedup_ngram_jaccard(spark, SF_DIR, threshold=0.9).collect()
     }
     est = {

@@ -64,8 +64,7 @@ def test_streaming_kv_state_matches_batch(spark, events_src):
     got = sorted_rows(
         spark.sql(
             "SELECT key, state FROM (SELECT key, state, row_number() OVER "
-            "(PARTITION BY key ORDER BY rn DESC) r FROM (SELECT key, state, "
-            "monotonically_increasing_id() rn FROM kv_mem)) WHERE r = 1"
+            "(PARTITION BY key ORDER BY version DESC) r FROM kv_mem) WHERE r = 1"
         )
     )
     want = sorted_rows(kv_final_state(spark, SF_DIR))
@@ -181,10 +180,9 @@ def test_kv_state_survives_multiple_microbatches(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    from pyspark.sql.types import LongType
+    from mapreduce_simple_go_spark.sources import _normalize_ts
 
-    if isinstance(stream.schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(stream)
     ops = stream.select(
         F.col("event_id").alias("seq"),
         (F.col("user_id") % 50).cast("string").alias("key"),
@@ -199,8 +197,7 @@ def test_kv_state_survives_multiple_microbatches(spark, tmp_path):
     got = sorted_rows(
         spark.sql(
             "SELECT key, state FROM (SELECT key, state, row_number() OVER "
-            "(PARTITION BY key ORDER BY rn DESC) r FROM (SELECT key, state, "
-            "monotonically_increasing_id() rn FROM kv_multi_mem)) WHERE r = 1"
+            "(PARTITION BY key ORDER BY version DESC) r FROM kv_multi_mem) WHERE r = 1"
         )
     )
     want = sorted_rows(kv_final_state(spark, SF_DIR))

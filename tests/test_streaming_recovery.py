@@ -24,16 +24,18 @@ from .conftest import SF_DIR
 @pytest.fixture()
 def split_events(spark, tmp_path):
     """The events table split into two parquet files in separate drops."""
-    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    from mapreduce_simple_go_spark.sources import _normalize_ts
+
+    ev = _normalize_ts(spark.read.parquet(os.path.join(SF_DIR, "events.parquet")))
     # time-ordered drops (split at an hour boundary): the second drop only
     # carries timestamps after every window of the first, as a real
     # time-ordered source would — append mode finalizes old windows at the
     # watermark, so an interleaved-time split would (correctly) drop its
     # second half as too-late data.
-    cut_ns = ev.selectExpr("percentile(ts, 0.6) p").first().p
-    cut_hour_ns = (int(cut_ns) // 3_600_000_000_000) * 3_600_000_000_000
-    half1 = ev.filter(F.col("ts") < cut_hour_ns)
-    half2 = ev.filter(F.col("ts") >= cut_hour_ns)
+    cut_us = ev.selectExpr("percentile(unix_micros(ts), 0.6) p").first().p
+    cut_hour_us = (int(cut_us) // 3_600_000_000) * 3_600_000_000
+    half1 = ev.filter(F.unix_micros(F.col("ts")) < cut_hour_us)
+    half2 = ev.filter(F.unix_micros(F.col("ts")) >= cut_hour_us)
     src = tmp_path / "src"
     src.mkdir()
     stage = tmp_path / "stage"
@@ -78,11 +80,9 @@ def test_restart_processes_each_file_exactly_once(spark, tmp_path, split_events)
     assert got.count() == got.select("hour", "event_type").distinct().count(), (
         "restart duplicated window emissions"
     )
-    from pyspark.sql.types import LongType
+    from mapreduce_simple_go_spark.sources import _normalize_ts
 
-    ev = spark.read.parquet(src)
-    if isinstance(ev.schema["ts"].dataType, LongType):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _normalize_ts(spark.read.parquet(src))
     want = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(
