@@ -51,6 +51,10 @@ _WINDOW_PRIORITY = [
     "embedding_near_dup_ivf",
     # rewritten in round 4 (stateful-fold versioning; see kv.py)
     "kv_stream_final_state",
+    # new in round 4
+    "kmeans_clusters",
+    "pii_scrub",
+    "jsonl_roundtrip",
 ]
 
 

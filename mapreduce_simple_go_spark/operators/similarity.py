@@ -741,3 +741,142 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 
 QUERIES["ann_srp_topk"] = ann_srp_topk
 ORACLES["ann_srp_topk"] = ANN_SRP_SQL
+
+
+# --- Distributed k-means over the embedding column (iterative algorithm) ----
+#
+# Lloyd's algorithm with every arithmetic step in EXACT 64-bit integers so the
+# DuckDB oracle can replay it bit-for-bit: embeddings are quantized to
+# floor(x * KMEANS_SCALE) + KMEANS_OFFSET (the offset keeps every coordinate
+# positive, so Spark's `div` — truncation toward zero — and DuckDB's `//` —
+# floor — agree on the centroid means). Distances are integer squared
+# euclidean; argmin ties break on the lower centroid id. Floating-point
+# k-means cannot be hash-checked across engines (summation-order drift flips
+# near-tie assignments); integer k-means can, and loses nothing at 3-decimal
+# quantization.
+#
+# Scale shape: each iteration is one crossJoin(broadcast(K centroids)) over
+# the base table (no base shuffle) + one posexplode/groupBy((cid, dim))
+# partial-aggregated shuffle of K x EMBED_DIM cells. Nothing is ever
+# collected to the driver — the centroid "broadcast" is a K-row DataFrame.
+# At 100 TB: raise K, keep iterations bounded, identical plan.
+
+KMEANS_K = 8
+KMEANS_SCALE = 1000
+KMEANS_OFFSET = 20000
+KMEANS_ITERS = 2  # assignment passes; centroids update between them
+
+
+def _kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * KMEANS_SCALE).cast("long")
+            + KMEANS_OFFSET,
+        ).alias("q"),
+    )
+
+
+def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: integer squared-euclidean argmin."""
+    pairs = vecs.crossJoin(broadcast(cents))
+    dist = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        pairs.withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "cid")
+    )
+
+
+def kmeans_clusters(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """K-means cluster assignment after ``iters`` Lloyd iterations.
+
+    Deterministic seeding: the k lowest vec_ids are the initial centroids.
+    Between assignment passes, centroids update to the integer-floored
+    per-dimension mean of their members (sum div count — exact in int64).
+    """
+    vecs = _kmeans_quantized(spark, sf_dir)
+    w0 = Window.orderBy("vec_id")
+    cents = (
+        vecs.withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") <= k)
+        .select((F.col("rn") - 1).cast("int").alias("cid"), F.col("q").alias("cq"))
+    )
+    assigned = _kmeans_assign(vecs, cents)
+    for _ in range(iters - 1):
+        sums = (
+            assigned.select("cid", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        cents = (
+            sums.withColumn("m", F.expr("s div n"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("cid", F.transform("pm", lambda st: st["m"]).alias("cq"))
+        )
+        assigned = _kmeans_assign(vecs, cents)
+    return assigned.select("vec_id", F.col("cid").cast("int").alias("cluster"))
+
+
+_DUCK_SQDIST = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+KMEANS_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)
+                + {KMEANS_OFFSET}) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, q AS cq
+  FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+),
+d1 AS (
+  SELECT e.vec_id, e.q, c.cid, {_DUCK_SQDIST.format(a='e.q', b='c.cq')} AS dist
+  FROM e CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT cid, i AS pos, SUM(q[i]) AS s, COUNT(*) AS n
+  FROM a1, (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i)
+  GROUP BY cid, i
+),
+c1 AS (
+  SELECT cid, list(s // n ORDER BY pos) AS cq FROM sums GROUP BY cid
+),
+d2 AS (
+  SELECT e.vec_id, c.cid, {_DUCK_SQDIST.format(a='e.q', b='c.cq')} AS dist
+  FROM e CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a2
+"""
+
+QUERIES["kmeans_clusters"] = kmeans_clusters
+ORACLES["kmeans_clusters"] = KMEANS_SQL

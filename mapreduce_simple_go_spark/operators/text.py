@@ -357,3 +357,50 @@ FROM g
 
 QUERIES["chunk_dedup"] = chunk_dedup
 ORACLES["chunk_dedup"] = CHUNK_DEDUP_SQL
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source coverage: write documents as JSON lines, re-read.
+
+    JSONL is the lingua franca of LLM corpus interchange; this proves the
+    engine can emit a corpus to JSONL and ingest it back losslessly. The
+    query writes the documents table to a temp JSONL directory (one part
+    file per partition — at scale this is the normal distributed sink),
+    reads it back with an explicit schema (schema inference on 100 TB is a
+    full extra scan — never rely on it), and returns a per-row projection
+    the oracle computes from the parquet original: any drop, duplication or
+    field corruption in the sink/source pair breaks the hash.
+    """
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="jsonl_rt_")
+    try:
+        path = os.path.join(root, "docs")
+        d.write.mode("overwrite").json(path)
+        back = spark.read.schema(d.schema).json(path)
+        return (
+            back.select(
+                "doc_id",
+                "lang",
+                "source",
+                "n_chars",
+                F.length("text").cast("long").alias("n_text_chars"),
+            )
+            # materialize before the temp dir vanishes: the returned plan
+            # must not re-scan the deleted path when the driver collects
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars,
+       CAST(len(text) AS BIGINT) AS n_text_chars
+FROM documents
+"""
+
+QUERIES["jsonl_roundtrip"] = jsonl_roundtrip
+ORACLES["jsonl_roundtrip"] = JSONL_ROUNDTRIP_SQL

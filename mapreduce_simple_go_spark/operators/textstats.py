@@ -598,3 +598,90 @@ FROM per_doc_words w LEFT JOIN per_doc_bigrams b ON w.doc_id = b.doc_id
 
 QUERIES["repetition_filter"] = repetition_filter
 ORACLES["repetition_filter"] = REPETITION_FILTER_SQL
+
+
+# --- PII scrubbing -----------------------------------------------------------
+#
+# Redaction is a standard pass in a training-data pipeline (emails, phone
+# numbers, IPs out of the corpus before the model memorizes them). The
+# fixture text is synthetic and contains no PII, so the query FIRST welds a
+# deterministic PII suffix onto each document (same expression in both
+# engines) and THEN scrubs it — the regexes are exercised on every row and
+# the oracle hash fails if either engine's redaction semantics drift.
+# Patterns stay inside the Java-regex ∩ RE2 common dialect (no lookarounds,
+# no backrefs) so Spark (java.util.regex) and DuckDB (RE2) agree.
+#
+# Scale shape: pure per-row string expressions — JVM codegen, no shuffle,
+# no UDF. At 100 TB this is a map-only pass that pipelines with the scan.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails, phone numbers and IPv4 addresses; count each kind."""
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    with_pii = d.select("doc_id", synth.alias("raw"))
+    scrubbed = (
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE,
+                "<PHONE>",
+            ),
+            _PII_IP,
+            "<IP>",
+        )
+    )
+    return with_pii.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+    ).select(
+        "doc_id",
+        "scrubbed",
+        (F.size(F.split(F.col("scrubbed"), "<EMAIL>", -1)) - 1).alias("n_emails"),
+        (F.size(F.split(F.col("scrubbed"), "<PHONE>", -1)) - 1).alias("n_phones"),
+        (F.size(F.split(F.col("scrubbed"), "<IP>", -1)) - 1).alias("n_ips"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH with_pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS raw
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS scrubbed
+  FROM with_pii
+)
+SELECT doc_id, scrubbed,
+       CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS INTEGER) AS n_emails,
+       CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS INTEGER) AS n_phones,
+       CAST(len(string_split(scrubbed, '<IP>')) - 1 AS INTEGER) AS n_ips
+FROM scrub
+"""
+
+QUERIES["pii_scrub"] = pii_scrub
+ORACLES["pii_scrub"] = PII_SCRUB_SQL

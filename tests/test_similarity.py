@@ -125,3 +125,49 @@ def test_srp_recall_vs_brute_force(spark):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.3, f"SRP mean recall {mean_recall:.2f} too low"
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """The distributed integer k-means must equal a sequential numpy replay
+    of the same algorithm (same quantization, seeding, tie-breaks)."""
+    import numpy as np
+
+    from mapreduce_simple_go_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_OFFSET,
+        KMEANS_SCALE,
+        _emb,
+        kmeans_clusters,
+    )
+
+    got = {
+        r.vec_id: r.cluster for r in kmeans_clusters(spark, SF_DIR).collect()
+    }
+    rows = sorted(
+        (r.vec_id, r.embedding) for r in _emb(spark, SF_DIR).collect()
+    )
+    ids = [v for v, _ in rows]
+    q = (
+        np.floor(np.array([e for _, e in rows], dtype=np.float64) * KMEANS_SCALE)
+        .astype(np.int64)
+        + KMEANS_OFFSET
+    )
+    cents = q[: KMEANS_K].copy()
+
+    def assign(c):
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)  # int64 exact
+        return d.argmin(axis=1)  # argmin takes first on ties = lowest cid
+
+    a = assign(cents)
+    for _ in range(KMEANS_ITERS - 1):
+        cents = np.stack(
+            [
+                q[a == c].sum(axis=0) // max((a == c).sum(), 1)
+                for c in range(KMEANS_K)
+            ]
+        )
+        a = assign(cents)
+    want = dict(zip(ids, a.tolist()))
+    assert got == want
+    assert set(got.values()) <= set(range(KMEANS_K))

@@ -55,3 +55,25 @@ def test_wc_counts_match_python_counter(spark):
     }
     want = Counter(w for t in CASES for w in py_tokens(t))
     assert got == dict(want)
+
+
+def test_pii_scrub_redacts_everything(spark):
+    """After scrubbing, no email/phone/IP pattern may survive, and each row
+    must have redacted at least the injected email+phone+IP."""
+    import re
+
+    from mapreduce_simple_go_spark.operators.textstats import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+        pii_scrub,
+    )
+    from .conftest import SF_DIR
+
+    rows = pii_scrub(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert not re.search(_PII_EMAIL, r.scrubbed), r.scrubbed[-120:]
+        assert not re.search(_PII_PHONE, r.scrubbed)
+        assert not re.search(_PII_IP, r.scrubbed)
+        assert r.n_emails >= 1 and r.n_phones >= 1 and r.n_ips >= 1
