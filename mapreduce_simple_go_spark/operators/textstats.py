@@ -685,3 +685,120 @@ FROM scrub
 
 QUERIES["pii_scrub"] = pii_scrub
 ORACLES["pii_scrub"] = PII_SCRUB_SQL
+
+
+# --- PageRank over the word co-occurrence graph ------------------------------
+#
+# The third iterative-algorithm family after k-means (similarity.py) and
+# connected components (dedup.py): rank propagation on a weighted directed
+# graph. Nodes are words, edges are bigrams (a -> b) weighted by corpus
+# count. Like kmeans_clusters, ALL arithmetic is integer (ranks scaled by
+# 1e9, floor division everywhere) so the DuckDB oracle replays the
+# iterations bit-for-bit — floating-point PageRank cannot be hash-compared
+# across engines, integer PageRank can. Dangling mass is dropped (the
+# standard simplification) identically in both engines.
+#
+# Scale shape per iteration: contribs = edges ⋈ ranks (equi-join on src) ⋈
+# out-weights, then one partial-aggregated shuffle on dst. Edges/ranks are
+# keyed tables; on a real cluster both sides pre-partition on the join key
+# once and every iteration reuses that partitioning. No driver collects.
+
+PAGERANK_SCALE = 1_000_000_000
+PAGERANK_ITERS = 2
+
+
+def _bigram_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("a"),
+                F.element_at(toks, i + 2).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def word_pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = PAGERANK_ITERS
+) -> DataFrame:
+    """Integer PageRank (damping 0.85) over the bigram graph, ``iters`` steps."""
+    edges = _bigram_edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("a").alias("word"))
+        .unionByName(edges.select(F.col("b").alias("word")))
+        .distinct()
+    )
+    outw = edges.groupBy("a").agg(F.sum("w").alias("ow"))
+    ranks = nodes.select("word", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges["a"] == ranks["word"])
+            .join(outw, "a")
+            .select(
+                F.col("b").alias("word"),
+                F.expr("(rank * w) div ow").alias("c"),
+            )
+            .groupBy("word")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "word", "left")
+            .select(
+                "word",
+                (
+                    F.lit(15 * PAGERANK_SCALE // 100)
+                    + F.expr(f"(85 * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks
+
+
+_PR_TOKS = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> w <> '')"
+
+WORD_PAGERANK_SQL = f"""
+WITH tl AS (SELECT {_PR_TOKS} AS t FROM documents),
+bigr AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> {{'a': t[i], 'b': t[i + 1]}}),
+                recursive := true)
+  FROM tl WHERE len(t) >= 2
+),
+edges AS (SELECT a, b, COUNT(*) AS w FROM bigr GROUP BY a, b),
+nodes AS (SELECT a AS word FROM edges UNION SELECT b FROM edges),
+outw AS (SELECT a, SUM(w) AS ow FROM edges GROUP BY a),
+r0 AS (SELECT word, CAST({PAGERANK_SCALE} AS BIGINT) AS rank FROM nodes),
+c1 AS (
+  SELECT e.b AS word, SUM((r.rank * e.w) // o.ow) AS s
+  FROM edges e JOIN r0 r ON r.word = e.a JOIN outw o ON o.a = e.a
+  GROUP BY e.b
+),
+r1 AS (
+  SELECT n.word,
+         CAST({15 * PAGERANK_SCALE // 100} + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c1 c ON n.word = c.word
+),
+c2 AS (
+  SELECT e.b AS word, SUM((r.rank * e.w) // o.ow) AS s
+  FROM edges e JOIN r1 r ON r.word = e.a JOIN outw o ON o.a = e.a
+  GROUP BY e.b
+),
+r2 AS (
+  SELECT n.word,
+         CAST({15 * PAGERANK_SCALE // 100} + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c2 c ON n.word = c.word
+)
+SELECT word, rank FROM r2
+"""
+
+QUERIES["word_pagerank"] = word_pagerank
+ORACLES["word_pagerank"] = WORD_PAGERANK_SQL

@@ -48,8 +48,10 @@ def get_spark(
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # fixture events.parquet carries TIMESTAMP(NANOS) which the vectorized
-        # reader rejects; read as long and convert in sources.load_events.
+        # fixture events.parquet has carried TIMESTAMP(NANOS) in some
+        # generations (rejected by the vectorized reader without this conf;
+        # read as long and normalized in sources._normalize_ts). Harmless
+        # for the current micros-NTZ fixture; kept for compatibility.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -258,3 +258,20 @@ def test_pack_sequences_windows_are_bucketed(spark):
         ln for ln in plan.splitlines() if "windowspecdefinition" in ln and "n_tokens" in ln
     ]
     assert any("bucket" in ln for ln in doc_win), doc_win
+
+
+def test_kmeans_assign_broadcasts_centroids_no_cartesian(spark):
+    """Each k-means iteration must broadcast the K-row centroid side
+    (BroadcastNestedLoopJoin over a broadcast exchange is the crossJoin
+    physical form) and never shuffle the base table for the assignment;
+    the only shuffles are the centroid-update (cid, dim) aggregation and
+    the per-vector argmin window."""
+    from mapreduce_simple_go_spark.operators.similarity import kmeans_clusters
+
+    df = kmeans_clusters(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    # assignment cross joins are broadcast, not shuffled cartesian products
+    assert "CartesianProduct" not in plan
+    # the centroid update aggregates map-side before its (cid, pos) shuffle
+    assert has_partial_aggregation(df)

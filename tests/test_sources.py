@@ -136,3 +136,35 @@ def test_json_source_corrupt_record_handling(spark, tmp_path):
     )
     with pytest.raises(Py4JJavaError):
         strict.collect()
+
+
+def test_normalize_ts_handles_all_fixture_generations(spark, tmp_path):
+    """The fixture's ts physical type changed across driver rounds
+    (TIMESTAMP(NANOS) -> micros-NTZ); _normalize_ts must land every form on
+    plain TimestampType with identical epoch values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from mapreduce_simple_go_spark.sources import _normalize_ts
+
+    epoch_us = 1_700_000_000_000_000  # deterministic instant
+    cases = {
+        "ntz_us": pa.table(
+            {"ts": pa.array([epoch_us], type=pa.timestamp("us"))}
+        ),
+        "utc_us": pa.table(
+            {"ts": pa.array([epoch_us], type=pa.timestamp("us", tz="UTC"))}
+        ),
+        "long_ns": pa.table(
+            {"ts": pa.array([epoch_us * 1000], type=pa.int64())}
+        ),
+    }
+    got = {}
+    for name, tbl in cases.items():
+        p = tmp_path / f"{name}.parquet"
+        pq.write_table(tbl, p)
+        df = _normalize_ts(spark.read.parquet(str(p)))
+        assert isinstance(df.schema["ts"].dataType, TimestampType), name
+        got[name] = df.selectExpr("unix_micros(ts) AS us").first().us
+    assert set(got.values()) == {epoch_us}, got

@@ -77,3 +77,32 @@ def test_pii_scrub_redacts_everything(spark):
         assert not re.search(_PII_PHONE, r.scrubbed)
         assert not re.search(_PII_IP, r.scrubbed)
         assert r.n_emails >= 1 and r.n_phones >= 1 and r.n_ips >= 1
+
+
+def test_pagerank_matches_sequential_replay(spark):
+    """The distributed integer PageRank must equal a sequential Python
+    replay of the same integer iteration (same edges, scale, floor divs)."""
+    from collections import defaultdict
+
+    from mapreduce_simple_go_spark.operators.textstats import (
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        _bigram_edges,
+        word_pagerank,
+    )
+    from .conftest import SF_DIR
+
+    got = {r.word: r.rank for r in word_pagerank(spark, SF_DIR).collect()}
+    edges = [(r.a, r.b, r.w) for r in _bigram_edges(spark, SF_DIR).collect()]
+    nodes = {a for a, _, _ in edges} | {b for _, b, _ in edges}
+    outw = defaultdict(int)
+    for a, _, w in edges:
+        outw[a] += w
+    rank = {n: PAGERANK_SCALE for n in nodes}
+    for _ in range(PAGERANK_ITERS):
+        s = defaultdict(int)
+        for a, b, w in edges:
+            s[b] += (rank[a] * w) // outw[a]
+        rank = {n: 15 * PAGERANK_SCALE // 100 + (85 * s[n]) // 100 for n in nodes}
+    assert got == rank
+    assert all(v >= 15 * PAGERANK_SCALE // 100 for v in got.values())
