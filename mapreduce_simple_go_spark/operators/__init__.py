@@ -57,6 +57,10 @@ _WINDOW_PRIORITY = [
     "jsonl_roundtrip",
     "orc_roundtrip",
     "word_pagerank",
+    "multimodal_dedup",
+    "quality_model_score",
+    "length_bucket_batches",
+    "embedding_quantize_error",
 ]
 
 

@@ -384,3 +384,35 @@ FROM summed
 
 QUERIES["multimodal_audio_stats"] = multimodal_audio_stats
 ORACLES["multimodal_audio_stats"] = _MM_AUDIO_ORACLE
+
+
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: one row per distinct payload digest.
+
+    The binary-column twin of text dedup_exact: group by md5(media) —
+    the shuffle carries 16-byte digests, never payloads — and keep the
+    lowest doc_id as the canonical copy. Emitting every group (not just
+    dup groups) keeps the oracle evidence non-trivial at fixture scales
+    where the corpus has no exact dupes.
+    """
+    m = synth_media(spark, sf_dir)
+    return (
+        m.select("doc_id", F.md5(F.col("media")).alias("media_digest"))
+        .groupBy("media_digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+MULTIMODAL_DEDUP_SQL = """
+SELECT md5(text) AS media_digest,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+QUERIES["multimodal_dedup"] = multimodal_dedup
+ORACLES["multimodal_dedup"] = MULTIMODAL_DEDUP_SQL

@@ -476,3 +476,59 @@ FROM packed
 
 QUERIES["pack_sequences"] = pack_sequences
 ORACLES["pack_sequences"] = PACK_SEQUENCES_SQL
+
+
+# --- Length-bucketed batch construction --------------------------------------
+#
+# Training loaders group sequences of similar length to minimize padding
+# waste. Distributed form: bucket by token-length bin, then number rows
+# within each bucket deterministically (content-independent order: doc_id)
+# and cut batches of BATCH_SIZE. One shuffle (the per-bucket window sort);
+# at 100 TB the bucket key prefixes the sort so every batch is built inside
+# its bucket partition — the same two-level pattern pack_sequences uses.
+
+LENGTH_BUCKET_WIDTH = 16   # tokens per bucket bin
+BATCH_SIZE = 8
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document a (bucket, batch_id, pad_waste) for training."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(tokens(F.col("text")))
+    bucketed = d.select(
+        "doc_id", n_tok.alias("n_tokens")
+    ).withColumn("bucket", F.expr(f"n_tokens div {LENGTH_BUCKET_WIDTH}"))
+    batched = bucketed.withColumn(
+        "batch_id", F.expr(f"(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) div {BATCH_SIZE}")
+    )
+    wb = Window.partitionBy("bucket", "batch_id")
+    return batched.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        "batch_id",
+        (F.max("n_tokens").over(wb) - F.col("n_tokens")).alias("pad_waste"),
+    )
+
+
+LENGTH_BUCKET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), w -> w <> '')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, n_tokens // {LENGTH_BUCKET_WIDTH} AS bucket FROM toks
+),
+batched AS (
+  SELECT doc_id, n_tokens, bucket,
+         (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // {BATCH_SIZE} AS batch_id
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket, batch_id,
+       MAX(n_tokens) OVER (PARTITION BY bucket, batch_id) - n_tokens AS pad_waste
+FROM batched
+"""
+
+QUERIES["length_bucket_batches"] = length_bucket_batches
+ORACLES["length_bucket_batches"] = LENGTH_BUCKET_SQL

@@ -880,3 +880,70 @@ SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a2
 
 QUERIES["kmeans_clusters"] = kmeans_clusters
 ORACLES["kmeans_clusters"] = KMEANS_SQL
+
+
+# --- Embedding quantization (int8 range compression) -------------------------
+#
+# Vector stores compress float embeddings to int8 before indexing; the
+# engine-side op is per-vector min/max scaling + truncation quantization
+# and a reconstruction-error audit. floor() (not round()) keeps every step
+# in the IEEE-deterministic op set (+,-,*,/,floor,abs) — round-half
+# behavior differs between engines, floor does not. mx == mn (constant
+# vector) is guarded to error 0 in both engines.
+#
+# Scale shape: map-only array expressions over the base table — pipelines
+# with the scan, no shuffle, no UDF.
+
+QUANT_LEVELS = 255
+
+
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit: levels used + max reconstruction
+    error (9 dp)."""
+    e = _emb(spark, sf_dir)
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    mn, mx = F.array_min(x), F.array_max(x)
+    rng = mx - mn
+    q = F.transform(
+        x,
+        lambda v: F.least(
+            F.floor((v - mn) * F.lit(float(QUANT_LEVELS)) / rng),
+            F.lit(QUANT_LEVELS).cast("long"),
+        ),
+    )
+    deq = F.transform(q, lambda b: mn + b.cast("double") * rng / F.lit(float(QUANT_LEVELS)))
+    err = F.array_max(F.zip_with(x, deq, lambda a, b: F.abs(a - b)))
+    return e.select(
+        "vec_id",
+        F.when(rng == 0, F.lit(1)).otherwise(F.size(F.array_distinct(q))).cast("long").alias("n_levels_used"),
+        F.when(rng == 0, F.lit(0.0)).otherwise(F.round(err, 9)).alias("max_abs_err"),
+    )
+
+
+EMB_QUANT_SQL = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+mm AS (
+  SELECT vec_id, x, list_min(x) AS mn, list_max(x) AS mx, list_max(x) - list_min(x) AS rng
+  FROM base
+),
+qd AS (
+  SELECT vec_id, x, mn, rng,
+         list_transform(x, v -> least(floor((v - mn) * {QUANT_LEVELS}.0 / rng),
+                                      CAST({QUANT_LEVELS} AS BIGINT))) AS q
+  FROM mm
+)
+SELECT vec_id,
+       CASE WHEN rng = 0 THEN 1 ELSE len(list_distinct(q)) END AS n_levels_used,
+       CASE WHEN rng = 0 THEN 0.0 ELSE
+         round(list_max(list_transform(range(1, len(x) + 1),
+               i -> abs(x[i] - (mn + q[i] * rng / {QUANT_LEVELS}.0)))), 9)
+       END AS max_abs_err
+FROM qd
+"""
+
+QUERIES["embedding_quantize_error"] = embedding_quantize_error
+ORACLES["embedding_quantize_error"] = EMB_QUANT_SQL

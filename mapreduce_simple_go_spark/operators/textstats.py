@@ -802,3 +802,58 @@ SELECT word, rank FROM r2
 
 QUERIES["word_pagerank"] = word_pagerank
 ORACLES["word_pagerank"] = WORD_PAGERANK_SQL
+
+
+# --- Model-based quality scoring ---------------------------------------------
+#
+# FineWeb-style "classifier quality filter": a linear model over the
+# quality signals, squashed to (0,1). The squash is the RATIONAL sigmoid
+# 0.5 + 0.5 * z / (1 + |z|), not 1/(1+exp(-z)): +, *, /, abs are IEEE-exact
+# and engine-identical, while exp() is libm-dependent and can differ in the
+# last ulp between the JVM and DuckDB — a hash-gate hazard for zero
+# modeling benefit. Weights are a broadcast constant vector (at scale: a
+# one-row dimension table or literal, map-only pass).
+
+QUALITY_MODEL_WEIGHTS = {
+    "bias": -1.0,
+    "alpha_ratio": 2.0,
+    "stopword_ratio": 1.5,
+    "avg_word_len": -0.1,
+}
+
+
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality model score per document (rational sigmoid, 9 dp)."""
+    w = QUALITY_MODEL_WEIGHTS
+    feats = text_quality(spark, sf_dir)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["alpha_ratio"]) * F.col("alpha_ratio")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["avg_word_len"]) * F.col("avg_word_len")
+    )
+    score = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    return feats.select(
+        "doc_id",
+        F.round(score, 9).alias("model_score"),
+        (F.round(score, 9) >= 0.5).alias("keep"),
+    )
+
+
+_W = QUALITY_MODEL_WEIGHTS
+QUALITY_MODEL_SQL = f"""
+WITH feats AS ({{base}})
+SELECT doc_id,
+       round(0.5 + 0.5 * z / (1 + abs(z)), 9) AS model_score,
+       (round(0.5 + 0.5 * z / (1 + abs(z)), 9) >= 0.5) AS keep
+FROM (
+  SELECT doc_id,
+         {_W['bias']} + {_W['alpha_ratio']} * alpha_ratio
+            + {_W['stopword_ratio']} * stopword_ratio
+            + {_W['avg_word_len']} * avg_word_len AS z
+  FROM feats
+)
+""".format(base=TEXT_QUALITY_SQL)
+
+QUERIES["quality_model_score"] = quality_model_score
+ORACLES["quality_model_score"] = QUALITY_MODEL_SQL

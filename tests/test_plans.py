@@ -275,3 +275,41 @@ def test_kmeans_assign_broadcasts_centroids_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # the centroid update aggregates map-side before its (cid, pos) shuffle
     assert has_partial_aggregation(df)
+
+
+def test_pii_scrub_is_map_only_zero_shuffle(spark):
+    """Redaction must pipeline with the scan: no Exchange anywhere."""
+    from mapreduce_simple_go_spark.operators.textstats import pii_scrub
+
+    df = pii_scrub(spark, SF_DIR)
+    assert count_operator(df, "Exchange") == 0
+    # the whole pass runs inside one codegen stage
+    assert "codegen id : 1" in formatted_plan(df)
+
+
+def test_embedding_quantize_is_map_only_zero_shuffle(spark):
+    """Quantization audit is per-row array math — no Exchange."""
+    from mapreduce_simple_go_spark.operators.similarity import (
+        embedding_quantize_error,
+    )
+
+    assert count_operator(embedding_quantize_error(spark, SF_DIR), "Exchange") == 0
+
+
+def test_length_bucket_batches_single_shuffle(spark):
+    """Batch construction sorts once inside the bucket partitioning: one
+    Exchange (hashpartitioning on bucket) feeds both windows."""
+    from mapreduce_simple_go_spark.operators.sampling import length_bucket_batches
+
+    df = length_bucket_batches(spark, SF_DIR)
+    assert count_operator(df, "Exchange") == 1
+
+
+def test_pagerank_iteration_joins_have_partial_aggregation(spark):
+    """Each PageRank iteration's dst-sum must partial-aggregate before its
+    shuffle (contribution combine happens map-side)."""
+    from mapreduce_simple_go_spark.operators.textstats import word_pagerank
+
+    df = word_pagerank(spark, SF_DIR)
+    assert has_partial_aggregation(df)
+    assert "CartesianProduct" not in formatted_plan(df)
