@@ -805,11 +805,16 @@ def kmeans_clusters(
     per-dimension mean of their members (sum div count — exact in int64).
     """
     vecs = _kmeans_quantized(spark, sf_dir)
+    # Seed = k lowest vec_ids. orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (distributed per-partition top-k + merge);
+    # the row_number window then runs over K rows only. A global
+    # row_number window here would sort the ENTIRE base in one partition
+    # — the scale bug the 10x probe surfaced (WindowExec warning).
+    seed = vecs.orderBy("vec_id").limit(k)
     w0 = Window.orderBy("vec_id")
-    cents = (
-        vecs.withColumn("rn", F.row_number().over(w0))
-        .filter(F.col("rn") <= k)
-        .select((F.col("rn") - 1).cast("int").alias("cid"), F.col("q").alias("cq"))
+    cents = seed.select(
+        (F.row_number().over(w0) - 1).cast("int").alias("cid"),
+        F.col("q").alias("cq"),
     )
     assigned = _kmeans_assign(vecs, cents)
     for _ in range(iters - 1):
