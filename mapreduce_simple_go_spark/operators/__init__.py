@@ -61,6 +61,7 @@ _WINDOW_PRIORITY = [
     "quality_model_score",
     "length_bucket_batches",
     "embedding_quantize_error",
+    "stream_sessions_gap_closed",
 ]
 
 

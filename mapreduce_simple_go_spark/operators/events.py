@@ -411,3 +411,67 @@ GROUP BY 1, 2
 
 QUERIES["retention_cohorts"] = retention_cohorts
 ORACLES["retention_cohorts"] = RETENTION_SQL
+
+
+def stream_sessions_gap_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry running the REAL custom stateful sessionizer
+    (streaming.session_fold: applyInPandasWithState + event-time timeout).
+
+    The events table replays as one time-sorted file through an
+    availableNow drain; sessions the operator closed by GAP (a later event
+    arrived) are deterministic: exactly the batch gaps-and-islands sessions
+    minus each user's final session (only a timeout or stream end can close
+    that one, and a bounded single-batch drain fires neither). Second
+    registry row after kv_stream_final_state where the correctness gate
+    hashes actual streaming-engine output.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import run_available_now, session_fold
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    ).orderBy("ts", "event_id")
+    root = tempfile.mkdtemp(prefix="sess_stream_q_")
+    try:
+        stage = os.path.join(root, "stage")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        ev.coalesce(1).write.mode("overwrite").parquet(stage)
+        pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, pfile), os.path.join(src, "drop0.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        name = "sessfold_" + uuid.uuid4().hex[:8]
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_available_now(session_fold(stream), name, "append")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.sql(
+        f"""
+        SELECT user_id, session_start_us, session_end_us, n_events, total_cents
+        FROM {name} WHERE closed_by = 'gap'
+        """
+    )
+
+
+STREAM_SESSIONS_SQL = f"""
+WITH s AS ({SESSIONIZATION_SQL})
+SELECT user_id,
+       epoch_us(session_start) AS session_start_us,
+       epoch_us(session_end) AS session_end_us,
+       n_events,
+       CAST(round(total_value * 100) AS BIGINT) AS total_cents
+FROM s
+WHERE session_no < (SELECT MAX(session_no) FROM s s2 WHERE s2.user_id = s.user_id)
+"""
+
+QUERIES["stream_sessions_gap_closed"] = stream_sessions_gap_closed
+ORACLES["stream_sessions_gap_closed"] = STREAM_SESSIONS_SQL

@@ -315,3 +315,100 @@ def purchases_after_clicks(events: DataFrame) -> DataFrame:
             gap_us.alias("gap_us"),
         )
     )
+
+
+# --- Custom stateful sessionizer with event-time timeout ---------------------
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_fold(key, pdfs, state: GroupState):
+    """Gap-sessionizer for one user: emit a session when a gap closes it,
+    or when the EVENT-TIME TIMEOUT fires (watermark passed last_ts + gap —
+    no further event can extend the session, so it is final).
+
+    This is the hand-rolled twin of Spark's built-in session_window: the
+    point is exercising GroupStateTimeout.EventTimeTimeout — state that
+    evicts itself when event time moves on, the mechanism that bounds
+    custom-operator state on an unbounded stream.
+    """
+    import pandas as pd
+
+    out = []
+    if state.hasTimedOut:
+        start_us, last_us, n, cents = state.get
+        out.append((key[0], start_us, last_us, n, cents, "timeout"))
+        state.remove()
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _SESSION_OUT_SCHEMA.fields]
+        )
+        return
+    frames = [p for p in pdfs if len(p)]
+    if frames:
+        allev = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        if state.exists:
+            start_us, last_us, n, cents = state.get
+        else:
+            start_us, last_us, n, cents = None, None, 0, 0
+        for ts_us, cents_i in zip(allev["ts_us"], allev["cents"]):
+            ts_us = int(ts_us)
+            if last_us is not None and ts_us - last_us > SESSION_GAP_US:
+                out.append((key[0], start_us, last_us, n, cents, "gap"))
+                start_us, last_us, n, cents = None, None, 0, 0
+            if start_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n += 1
+            cents += int(cents_i)
+        state.update((start_us, last_us, n, cents))
+        # the session is final once event time passes last event + gap
+        state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_US // 1000)
+    yield pd.DataFrame(out, columns=[f.name for f in _SESSION_OUT_SCHEMA.fields])
+
+
+def session_fold(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom gap-sessionization via applyInPandasWithState + event-time
+    timeout. ``events`` needs (user_id, ts, event_id, value). Sessions are
+    emitted when a gap closes them ("gap") or when the watermark passes
+    last_event + gap ("timeout") — the state table holds only OPEN sessions,
+    bounded by active users, and timeouts are what guarantee eviction."""
+    prepped = (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.round(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _session_fold,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -311,3 +311,58 @@ def test_watermark_drops_data_later_than_allowance(spark, tmp_path):
     ]
     # exactly one emission for hour 00:00, with only the on-time event
     assert got == [("2024-01-01T00:00:00", 1)]
+
+
+def test_session_fold_event_time_timeout_matches_batch(spark, events_src):
+    """The custom applyInPandasWithState sessionizer (event-time timeout)
+    must agree with batch gaps-and-islands sessionization:
+
+    - every emitted session IS a batch session (same start/end/count/value);
+    - sessions closed by a GAP (a later event arrived) are exactly the
+      batch sessions minus each user's final session (which only a timeout
+      or end-of-stream can close).
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.operators.events import sessionization
+    from mapreduce_simple_go_spark.streaming import session_fold
+
+    run_available_now(
+        session_fold(stream_events(spark, events_src)), "sess_fold_mem", "append"
+    )
+    got = spark.sql(
+        "SELECT user_id, session_start_us, session_end_us, n_events, "
+        "total_cents, closed_by FROM sess_fold_mem"
+    ).collect()
+    batch = {
+        (r.user_id, r.s_us, r.e_us, r.n_events, r.cents)
+        for r in sessionization(spark, SF_DIR)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("s_us"),
+            F.unix_micros("session_end").alias("e_us"),
+            "n_events",
+            F.round(F.col("total_value") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    emitted = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.total_cents)
+        for r in got
+    }
+    assert emitted, "no sessions emitted"
+    assert emitted <= batch, f"phantom sessions: {list(emitted - batch)[:3]}"
+    # last session per user (by start) can only close via timeout/stream end
+    last_per_user = {}
+    for u, s, e, n, c in batch:
+        if u not in last_per_user or s > last_per_user[u][1]:
+            last_per_user[u] = (u, s, e, n, c)
+    expected_gap_closed = batch - {
+        (u, s, e, n, c) for (u, s, e, n, c) in last_per_user.values()
+    }
+    gap_closed = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.total_cents)
+        for r in got
+        if r.closed_by == "gap"
+    }
+    assert gap_closed == expected_gap_closed
