@@ -168,3 +168,15 @@ def test_normalize_ts_handles_all_fixture_generations(spark, tmp_path):
         assert isinstance(df.schema["ts"].dataType, TimestampType), name
         got[name] = df.selectExpr("unix_micros(ts) AS us").first().us
     assert set(got.values()) == {epoch_us}, got
+
+
+def test_cli_list_and_run(spark):
+    """python -m mapreduce_simple_go_spark: list + run against the fixture."""
+    from mapreduce_simple_go_spark.__main__ import main
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["list"]) == 0
+    names = buf.getvalue().split()
+    assert "wc" in names and len(names) >= 100
