@@ -62,6 +62,7 @@ _WINDOW_PRIORITY = [
     "length_bucket_batches",
     "embedding_quantize_error",
     "stream_sessions_gap_closed",
+    "label_centroids",
 ]
 
 

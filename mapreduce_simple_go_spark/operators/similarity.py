@@ -952,3 +952,68 @@ FROM qd
 
 QUERIES["embedding_quantize_error"] = embedding_quantize_error
 ORACLES["embedding_quantize_error"] = EMB_QUANT_SQL
+
+
+# --- Per-label embedding centroids (class pooling) ---------------------------
+#
+# The class-centroid primitive (nearest-centroid classifiers, dataset
+# cartography, per-class drift monitoring): mean embedding per label.
+# Row-order-dependent float summation cannot be hash-compared across
+# engines, so the mean uses the same int64 quantization as kmeans_clusters
+# (sum of quantized coords div count — exact under any shuffle order). The
+# centroid is emitted as a '-'-joined string: the driver's cell hash treats
+# arrays inconsistently across engines, strings never (the multimodal
+# feature_sig precedent).
+#
+# Scale shape: posexplode + ONE partial-aggregated (label, dim) shuffle
+# (labels x 64 cells), then a per-label regroup. No driver collects.
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer mean embedding per label: (label, n_vecs, centroid_sig)."""
+    q = _kmeans_quantized(spark, sf_dir).join(
+        _emb(spark, sf_dir).select("vec_id", "label"), "vec_id"
+    )
+    sums = (
+        q.select("label", F.posexplode("q").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    return (
+        sums.withColumn("m", F.expr(f"(s div n) - {KMEANS_OFFSET}"))
+        .groupBy("label")
+        .agg(
+            F.first("n").alias("n_vecs"),
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.concat_ws(
+                "-", F.transform("pm", lambda st: st["m"].cast("string"))
+            ).alias("centroid_sig"),
+        )
+    )
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH e AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)
+                + {KMEANS_OFFSET}) AS q
+  FROM embeddings
+),
+sums AS (
+  SELECT label, i AS pos, SUM(q[i]) AS s, COUNT(*) AS n
+  FROM e, (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i)
+  GROUP BY label, i
+)
+SELECT label, CAST(MIN(n) AS BIGINT) AS n_vecs,
+       array_to_string(list((s // n) - {KMEANS_OFFSET} ORDER BY pos), '-') AS centroid_sig
+FROM sums
+GROUP BY label
+"""
+
+QUERIES["label_centroids"] = label_centroids
+ORACLES["label_centroids"] = LABEL_CENTROIDS_SQL
