@@ -412,3 +412,57 @@ def session_fold(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def run_foreachbatch_upsert(
+    folded: DataFrame, out_dir: str, ckpt_dir: str
+) -> None:
+    """Drain a stateful KV fold into a parquet "table" via foreachBatch
+    upsert — the production arbitrary-sink pattern (merge into Delta/JDBC/
+    key-value stores): each micro-batch's per-key emissions merge into the
+    sink with max-version-wins semantics, so replays and multi-batch drains
+    land exactly-once.
+
+    The merge here is read-union-dedup-overwrite on plain parquet (the
+    fixture-scale stand-in for MERGE INTO); the pattern — foreachBatch
+    receives a BATCH DataFrame plus a batch_id and applies any
+    deterministic idempotent write — is exactly what a transactional sink
+    gets at scale, and the checkpoint makes redelivery idempotent.
+    """
+    import os
+
+    spark = folded.sparkSession
+
+    def upsert(batch_df, batch_id):
+        batch_df = batch_df.select("key", "state", "version")
+        if os.path.isdir(out_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(out_dir)
+        ):
+            current = spark.read.parquet(out_dir)
+            merged = current.unionByName(batch_df)
+        else:
+            merged = batch_df
+        from pyspark.sql import Window as W
+
+        latest = (
+            merged.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("key").orderBy(F.desc("version"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # stage-then-swap: never read and overwrite the same files in one job
+        staged = latest.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        folded.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

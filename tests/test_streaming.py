@@ -366,3 +366,51 @@ def test_session_fold_event_time_timeout_matches_batch(spark, events_src):
         if r.closed_by == "gap"
     }
     assert gap_closed == expected_gap_closed
+
+
+def test_foreachbatch_upsert_converges_to_batch(spark, tmp_path):
+    """foreachBatch upsert sink: a multi-batch drain of the stateful KV fold
+    must leave the parquet table equal to the batch fold — max-version-wins
+    merge makes per-batch redeliveries idempotent."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.operators.kv import kv_final_state, kv_ops
+    from mapreduce_simple_go_spark.streaming import (
+        kv_append_state,
+        run_foreachbatch_upsert,
+    )
+
+    ops = kv_ops(spark, SF_DIR).filter(F.col("op") != "get").orderBy("seq")
+    # seq values are sparse (event_ids), so split on VALUE percentiles —
+    # row-count ranges would silently drop every op past the count
+    b1, b2 = ops.selectExpr(
+        "percentile(seq, 0.34) p1", "percentile(seq, 0.67) p2"
+    ).first()
+    bounds = [(None, b1), (b1, b2), (b2, None)]
+    src = tmp_path / "src"
+    src.mkdir()
+    # three time-ordered drops -> three micro-batches with maxFilesPerTrigger
+    for i, (lo, hi) in enumerate(bounds):
+        part = ops
+        if lo is not None:
+            part = part.filter(F.col("seq") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("seq") < hi)
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(stage / pfile, src / f"drop{i}.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_foreachbatch_upsert(kv_append_state(stream), out, ckpt)
+    got = sorted_rows(spark.read.parquet(out).select("key", "state"))
+    want = sorted_rows(kv_final_state(spark, SF_DIR))
+    assert got == want and len(got) > 0
