@@ -8,35 +8,27 @@ multi-partition job with deliberately slow tasks runs.
 
 from __future__ import annotations
 
-import threading
 import time
 
 
 def test_at_least_two_concurrent_tasks(spark):
+    """Each task reports its own (start, end) wall-clock interval; at least
+    two intervals must overlap. This is the reference's liveness-file
+    technique (mtiming.go writes pid files and checks simultaneous
+    existence) — measuring from inside the tasks, not from the driver's
+    status tracker, whose numActiveTasks sampling proved flaky."""
     sc = spark.sparkContext
 
     def slow_partition(it):
+        t0 = time.time()
         time.sleep(1.5)
-        return [sum(1 for _ in it)]
+        n = sum(1 for _ in it)
+        return [(t0, time.time(), n)]
 
-    peak = {"n": 0}
-    done = threading.Event()
-
-    def poll():
-        tracker = sc.statusTracker()
-        while not done.is_set():
-            for sid in tracker.getActiveStageIds():
-                info = tracker.getStageInfo(sid)
-                if info:
-                    peak["n"] = max(peak["n"], info.numActiveTasks)
-            time.sleep(0.05)
-
-    t = threading.Thread(target=poll, daemon=True)
-    t.start()
-    try:
-        counts = sc.parallelize(range(1000), 8).mapPartitions(slow_partition).collect()
-    finally:
-        done.set()
-        t.join(timeout=5)
-    assert sum(counts) == 1000
-    assert peak["n"] >= 2, f"expected concurrent tasks, peak={peak['n']}"
+    spans = sc.parallelize(range(1000), 8).mapPartitions(slow_partition).collect()
+    assert sum(n for _, _, n in spans) == 1000
+    overlap = max(
+        sum(1 for s2, e2, _ in spans if s2 < e1 and e2 > s1)
+        for s1, e1, _ in spans
+    )
+    assert overlap >= 2, f"no overlapping task intervals: {spans}"
