@@ -454,12 +454,16 @@ def stream_sessions_gap_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.sql(
+    # localCheckpoint severs lineage from the memory sink so the temp view
+    # drops cleanly (no catalog litter across repeated invocations)
+    out = spark.sql(
         f"""
         SELECT user_id, session_start_us, session_end_us, n_events, total_cents
         FROM {name} WHERE closed_by = 'gap'
         """
-    )
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 STREAM_SESSIONS_SQL = f"""

@@ -339,15 +339,19 @@ def kv_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     # update-mode memory sink appends one row per (key, micro-batch);
-    # the max-version emission per key is the final state
-    return spark.sql(
+    # the max-version emission per key is the final state. localCheckpoint
+    # severs lineage from the memory-sink table so the temp view can be
+    # dropped immediately — repeated invocations don't litter the catalog.
+    out = spark.sql(
         f"""
         SELECT key, state FROM (
           SELECT key, state, row_number() OVER (PARTITION BY key ORDER BY version DESC) AS r
           FROM {name}
         ) WHERE r = 1
         """
-    )
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 QUERIES["kv_stream_final_state"] = kv_stream_final_state
