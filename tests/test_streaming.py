@@ -414,3 +414,58 @@ def test_foreachbatch_upsert_converges_to_batch(spark, tmp_path):
     got = sorted_rows(spark.read.parquet(out).select("key", "state"))
     want = sorted_rows(kv_final_state(spark, SF_DIR))
     assert got == want and len(got) > 0
+
+
+def test_foreachbatch_upsert_restart_exactly_once(spark, tmp_path):
+    """Stop the upsert drain after the first file, drop two more, restart
+    with the SAME checkpoint: the restarted query must not re-apply file 1
+    (the append fold would double-concatenate) and the final table must
+    equal the batch fold — streaming E13 (exactly-once visible output)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.operators.kv import kv_final_state, kv_ops
+    from mapreduce_simple_go_spark.streaming import (
+        kv_append_state,
+        run_foreachbatch_upsert,
+    )
+
+    ops = kv_ops(spark, SF_DIR).filter(F.col("op") != "get").orderBy("seq")
+    b1, b2 = ops.selectExpr(
+        "percentile(seq, 0.34) p1", "percentile(seq, 0.67) p2"
+    ).first()
+    bounds = [(None, b1), (b1, b2), (b2, None)]
+    src = tmp_path / "src"
+    src.mkdir()
+    staged = []
+    for i, (lo, hi) in enumerate(bounds):
+        part = ops
+        if lo is not None:
+            part = part.filter(F.col("seq") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("seq") < hi)
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        staged.append((stage / pfile, src / f"drop{i}.parquet"))
+    schema = spark.read.parquet(str(staged[0][0])).schema
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_foreachbatch_upsert(kv_append_state(stream), out, ckpt)
+
+    shutil.copy(*staged[0])
+    drain()                      # run 1: file 0 only, then the query stops
+    shutil.copy(*staged[1])
+    shutil.copy(*staged[2])
+    drain()                      # run 2: same checkpoint, files 1-2 only
+    got = sorted_rows(spark.read.parquet(out).select("key", "state"))
+    want = sorted_rows(kv_final_state(spark, SF_DIR))
+    assert got == want and len(got) > 0
