@@ -708,16 +708,19 @@ PAGERANK_ITERS = 2
 
 
 def _bigram_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # zip_with over two slices, NOT element_at(toks, i) inside a transform
+    # lambda: CollapseProject inlines the `toks` expression into every
+    # element access, re-running the regex tokenizer per element — O(len^2)
+    # splits per document (measured 6.7 s vs 0.6 s for 931 edges at sf0.1).
+    # zip_with evaluates each input array once per row.
     d = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     pairs = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.struct(
-                F.element_at(toks, i + 1).alias("a"),
-                F.element_at(toks, i + 2).alias("b"),
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     return (
