@@ -63,6 +63,7 @@ _WINDOW_PRIORITY = [
     "embedding_quantize_error",
     "stream_sessions_gap_closed",
     "label_centroids",
+    "dedup_minhash_incremental",
 ]
 
 

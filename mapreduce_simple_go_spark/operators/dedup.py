@@ -142,6 +142,31 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def _lsh_bands(wide: DataFrame) -> DataFrame:
+    """(doc_id, sig_full, band, sig): banded LSH index rows for a wide
+    signature table — the full signature rides along so the Jaccard
+    estimate never needs a join back to a signature table."""
+    rpb = NUM_PERM // LSH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * rpb + i}").cast("string") for i in range(rpb)]
+                )
+            ).alias("sig"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"m{p}") for p in range(NUM_PERM)]).alias("sig_full"),
+        F.explode(F.array(*band_structs)).alias("bs"),
+    ).select(
+        "doc_id", "sig_full", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -161,24 +186,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates; band-sig strings are byte-identical here, so the oracle is
     unchanged.)
     """
-    rpb = NUM_PERM // LSH_BANDS
-    wide = minhash_wide(_docs(spark, sf_dir))
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"m{b * rpb + i}").cast("string") for i in range(rpb)]
-                )
-            ).alias("sig"),
-        )
-        for b in range(LSH_BANDS)
-    ]
-    bands = wide.select(
-        "doc_id",
-        F.array(*[F.col(f"m{p}") for p in range(NUM_PERM)]).alias("sig_full"),
-        F.explode(F.array(*band_structs)).alias("bs"),
-    ).select("doc_id", "sig_full", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = _lsh_bands(minhash_wide(_docs(spark, sf_dir)))
     a, b = bands.alias("a"), bands.alias("b")
     n_eq = F.size(
         F.filter(
@@ -871,3 +879,106 @@ LEFT JOIN overlap o ON d.doc_id = o.doc_id
 
 QUERIES["decontaminate_overlap"] = decontaminate_overlap
 ORACLES["decontaminate_overlap"] = DECONTAMINATE_SQL
+
+
+# 7. Incremental MinHash-LSH index maintenance --------------------------------
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screening of an incoming batch against a STANDING LSH index.
+
+    The production shape of MinHash dedup at 100 TB: the standing corpus's
+    banded signature index is a maintained table (computed once, appended
+    per ingest — here rebuilt from the fixture split, doc_id % 10 == 0 as
+    the incoming batch, matching dedup_incremental). The incoming batch
+    computes signatures for ITS documents only and probes the index with a
+    band equi-join — the standing corpus is never re-shingled, and the
+    incoming band set is batch-sized (broadcastable). Each incoming doc
+    gets its best near-dup verdict: highest est_jaccard >= 0.5, ties to the
+    lowest corpus doc_id; docs with no candidate emit NULLs (= "new").
+    """
+    d = _docs(spark, sf_dir)
+    inc_bands = _lsh_bands(minhash_wide(d.filter(F.col("doc_id") % 10 == 0)))
+    st_bands = _lsh_bands(minhash_wide(d.filter(F.col("doc_id") % 10 != 0)))
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("si"), F.col("ss"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    scored = (
+        inc_bands.alias("i")
+        .join(
+            st_bands.alias("s"),
+            (F.col("i.band") == F.col("s.band")) & (F.col("i.sig") == F.col("s.sig")),
+        )
+        .select(
+            F.col("i.doc_id").alias("inc_id"),
+            F.col("s.doc_id").alias("st_id"),
+            F.col("i.sig_full").alias("si"),
+            F.col("s.sig_full").alias("ss"),
+        )
+        .dropDuplicates(["inc_id", "st_id"])
+        .select("inc_id", "st_id", (n_eq / F.lit(float(NUM_PERM))).alias("est"))
+        .filter(F.col("est") >= 0.5)
+    )
+    from pyspark.sql import Window as W
+
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("inc_id").orderBy(F.desc("est"), F.asc("st_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("inc_id", "st_id", "est")
+    )
+    incoming = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    return incoming.join(
+        best, incoming["doc_id"] == best["inc_id"], "left"
+    ).select(
+        "doc_id",
+        F.col("st_id").alias("near_dup_of"),
+        F.col("est").alias("est_jaccard"),
+    )
+
+
+DEDUP_MINHASH_INCR_SQL = f"""
+WITH sh AS ({DUCK_DOC_SHINGLES}),
+hashed AS (SELECT doc_id, {duckdb_hash48("shingle")} AS h FROM sh),
+mh AS (
+  SELECT doc_id, perm, MIN((a * h + b) & {(1 << 48) - 1}) AS minhash
+  FROM hashed, (VALUES {_DUCK_COEFFS}) AS coeffs(perm, a, b)
+  GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // {NUM_PERM // LSH_BANDS} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS sig
+  FROM mh GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS st_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+),
+scored AS (
+  SELECT inc_id, st_id,
+         SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / {float(NUM_PERM)} AS est
+  FROM cand
+  JOIN mh ma ON ma.doc_id = inc_id
+  JOIN mh mb ON mb.doc_id = st_id AND ma.perm = mb.perm
+  GROUP BY inc_id, st_id
+  HAVING est >= 0.5
+),
+best AS (
+  SELECT inc_id, st_id, est,
+         row_number() OVER (PARTITION BY inc_id ORDER BY est DESC, st_id ASC) AS rn
+  FROM scored
+)
+SELECT i.doc_id, b.st_id AS near_dup_of, b.est AS est_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) i
+LEFT JOIN best b ON b.inc_id = i.doc_id AND b.rn = 1
+"""
+
+QUERIES["dedup_minhash_incremental"] = dedup_minhash_incremental
+ORACLES["dedup_minhash_incremental"] = DEDUP_MINHASH_INCR_SQL
