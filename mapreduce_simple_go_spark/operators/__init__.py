@@ -64,6 +64,7 @@ _WINDOW_PRIORITY = [
     "stream_sessions_gap_closed",
     "label_centroids",
     "dedup_minhash_incremental",
+    "range_join_brackets",
 ]
 
 

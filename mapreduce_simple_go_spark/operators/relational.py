@@ -1723,3 +1723,60 @@ ORDER BY s_name
 
 QUERIES["q20_part_promotion"] = q20_part_promotion
 ORACLES["q20_part_promotion"] = Q20_SQL
+
+
+def range_join_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit RANGE JOIN: orders matched to a named price-bracket
+    dimension on lo <= o_totalprice < hi.
+
+    The non-equi join the brief names alongside as-of joins. The bracket
+    dimension is tiny, so Catalyst plans a broadcast nested loop whose
+    inner side is K rows — the correct physical form for band joins
+    against a small dimension (the cross-product never materializes; each
+    order scans K brackets). With a LARGE range dimension the scale play
+    is binning: floor-bucket both sides to an equi-join key and resolve
+    residual boundary rows per bucket (order_price_histogram is the
+    degenerate all-equi form).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    brackets = spark.createDataFrame(
+        [
+            ("micro", 0.0, 50_000.0),
+            ("small", 50_000.0, 150_000.0),
+            ("medium", 150_000.0, 300_000.0),
+            ("large", 300_000.0, 1e12),
+        ],
+        "bracket string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(brackets),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("bracket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH brackets(bracket, lo, hi) AS (
+  VALUES ('micro', 0.0, 50000.0),
+         ('small', 50000.0, 150000.0),
+         ('medium', 150000.0, 300000.0),
+         ('large', 300000.0, 1e12)
+)
+SELECT bracket, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM orders JOIN brackets
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY bracket
+"""
+
+QUERIES["range_join_brackets"] = range_join_brackets
+ORACLES["range_join_brackets"] = RANGE_JOIN_SQL
