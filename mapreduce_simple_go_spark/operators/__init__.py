@@ -65,6 +65,7 @@ _WINDOW_PRIORITY = [
     "label_centroids",
     "dedup_minhash_incremental",
     "range_join_brackets",
+    "bm25_scores",
 ]
 
 

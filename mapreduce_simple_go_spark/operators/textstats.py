@@ -860,3 +860,103 @@ FROM (
 
 QUERIES["quality_model_score"] = quality_model_score
 ORACLES["quality_model_score"] = QUALITY_MODEL_SQL
+
+
+# --- BM25 retrieval scoring --------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ["spark", "query", "join", "stream"]
+BM25_TOP_N = 20
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N documents by BM25 against a fixed query-term set.
+
+    The retrieval scorer next to tfidf_top_terms: idf = ln((N - df + 0.5) /
+    (df + 0.5) + 1) (the Robertson-Sparck Jones form Lucene uses), tf
+    saturation k1=1.2, length normalization b=0.75. Same engine-parity
+    posture as TF-IDF/PMI: ln is last-ulp-stable across both engines on
+    these magnitudes and the score rounds to 9 dp before ranking.
+
+    Plan: the query-term set is a broadcast literal; tf and per-doc length
+    are partial-aggregated; df is vocabulary-sized and broadcast; top-N is
+    TakeOrderedAndProject. The corpus is never shuffled twice.
+    """
+    from pyspark.sql.functions import broadcast
+
+    d = _docs(spark, sf_dir)
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    doclen = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+    qterms = [t.lower() for t in BM25_QUERY_TERMS]
+    tf = (
+        terms.filter(F.lower(F.col("term")).isin(qterms))
+        .groupBy("doc_id", F.lower(F.col("term")).alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(broadcast(df_), "term")
+        .join(broadcast(doclen), "doc_id")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(avgdl))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 9).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_N)
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t.lower()}'" for t in BM25_QUERY_TERMS)
+
+BM25_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, lower(unnest({_PR_TOKS})) AS term FROM documents
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM doclen) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df ON tf.term = df.term
+  JOIN doclen dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(SUM(c), 9) AS bm25
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP_N}
+"""
+
+QUERIES["bm25_scores"] = bm25_scores
+ORACLES["bm25_scores"] = BM25_SQL
