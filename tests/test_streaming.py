@@ -469,3 +469,45 @@ def test_foreachbatch_upsert_restart_exactly_once(spark, tmp_path):
     got = sorted_rows(spark.read.parquet(out).select("key", "state"))
     want = sorted_rows(kv_final_state(spark, SF_DIR))
     assert got == want and len(got) > 0
+
+
+def test_foreachbatch_topk_matches_batch(spark, events_src, tmp_path):
+    """Rank-in-streaming via foreachBatch: window row_number is unsupported
+    inside a streaming query, so the standard pattern computes the running
+    aggregate in the stream and applies the rank in foreachBatch over each
+    batch's complete-mode snapshot. The LAST snapshot's top-3 hours by
+    event count per type must equal the batch ranking."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.operators.events import events_hourly
+    from mapreduce_simple_go_spark.streaming import hourly_counts, stream_events
+
+    out = str(tmp_path / "topk_out")
+    agg = hourly_counts(stream_events(spark, events_src))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"), F.asc("hour"))
+
+    def rank_and_write(batch_df, batch_id):
+        top = (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+        )
+        top.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(rank_and_write)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted_rows(
+        spark.read.parquet(out).select("event_type", "hour", "n_events", "rank")
+    )
+    want = sorted_rows(
+        events_hourly(spark, SF_DIR)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "hour", "n_events", "rank")
+    )
+    assert got == want and len(got) > 0
