@@ -66,6 +66,7 @@ _WINDOW_PRIORITY = [
     "dedup_minhash_incremental",
     "range_join_brackets",
     "bm25_scores",
+    "events_rollup_multigrain",
 ]
 
 

@@ -479,3 +479,53 @@ WHERE session_no < (SELECT MAX(session_no) FROM s s2 WHERE s2.user_id = s.user_i
 
 QUERIES["stream_sessions_gap_closed"] = stream_sessions_gap_closed
 ORACLES["stream_sessions_gap_closed"] = STREAM_SESSIONS_SQL
+
+
+def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup in ONE pass.
+
+    The continuous-aggregate shape (TimescaleDB hypertable rollups,
+    Druid/Pinot star-trees): per-event_type counts and value sums at BOTH
+    the hour and day grain, via GROUPING SETS over pre-truncated time
+    columns — map-side expansion x2 + one partial-aggregated shuffle
+    instead of two scans unioned. ``grain`` labels the rows; at 100 TB the
+    coarser grains come nearly free because the expansion happens before
+    the exchange and partial aggregation collapses each grain map-side.
+    """
+    ev = load_events(spark, sf_dir)
+    ev.select(
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        F.date_trunc("day", "ts").alias("day_b"),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("mg_events")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(hour_b) = 0 THEN 'hour' ELSE 'day' END AS grain,
+               COALESCE(hour_b, day_b) AS bucket,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM mg_events
+        GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type))
+        """
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+WITH base AS (
+  SELECT date_trunc('hour', ts) AS hour_b, date_trunc('day', ts) AS day_b,
+         event_type, value
+  FROM events
+)
+SELECT CASE WHEN GROUPING(hour_b) = 0 THEN 'hour' ELSE 'day' END AS grain,
+       COALESCE(hour_b, day_b) AS bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM base
+GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type))
+"""
+
+QUERIES["events_rollup_multigrain"] = events_rollup_multigrain
+ORACLES["events_rollup_multigrain"] = EVENTS_ROLLUP_SQL
