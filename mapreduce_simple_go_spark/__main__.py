@@ -39,20 +39,33 @@ def main(argv: list[str] | None = None) -> int:
         )
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from .engine import Engine
 
+    # Only stop the session on exit if this invocation created it — when main()
+    # is called in-process (tests, notebooks) the caller keeps their session.
+    owns_session = SparkSession.getActiveSession() is None
     eng = Engine()
     if args.cmd == "list":
         for name in eng.queries():
             print(name)
         return 0
 
-    df = (
-        eng.query(args.name, args.sf_dir)
-        if args.cmd == "run"
-        else eng.sql(args.query, args.sf_dir)
-    )
+    if args.cmd == "run":
+        names = eng.queries()
+        if args.name not in names:
+            print(f"unknown query: {args.name!r}", file=sys.stderr)
+            print("available queries:", file=sys.stderr)
+            for n in names:
+                print(f"  {n}", file=sys.stderr)
+            return 2
+        df = eng.query(args.name, args.sf_dir)
+    else:
+        df = eng.sql(args.query, args.sf_dir)
     if args.out:
+        # persist so the plan is computed once and shared by write + show.
+        df = df.persist()
         ext = os.path.splitext(args.out)[1]
         writer = df.coalesce(1).write.mode("overwrite")
         if ext == ".parquet":
@@ -65,8 +78,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unsupported --out extension: {ext}", file=sys.stderr)
             return 2
         print(f"wrote {args.out}")
-    df.show(args.limit or df.count(), truncate=False)
-    eng.spark.stop()
+    if args.limit:
+        df.show(args.limit, truncate=False)
+    else:
+        # 0 = all rows, without a separate count() job just to size show():
+        # take one more row than show prints by streaming via toLocalIterator.
+        rows = list(df.toLocalIterator())
+        df.sparkSession.createDataFrame(rows, df.schema).show(
+            max(len(rows), 1), truncate=False
+        )
+    if args.out:
+        df.unpersist()
+    if owns_session:
+        eng.spark.stop()
     return 0
 
 

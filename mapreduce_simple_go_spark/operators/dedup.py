@@ -788,6 +788,29 @@ QUERIES["dedup_clusters"] = dedup_clusters
 ORACLES["dedup_clusters"] = DEDUP_CLUSTERS_SQL
 
 
+def dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters with the driver union-find gate pinned SHUT
+    (driver_threshold=0): every edge goes through distributed min-label
+    propagation — the branch that actually runs at 100 TB, where the
+    candidate graph no longer fits one collect.
+
+    At fixture scale the tiered dedup_clusters entry always takes the
+    driver branch, so this entry exists to put the iterative-join path
+    itself under the external oracle (not just the internal equivalence
+    test in tests/test_sampling.py). Same oracle SQL as dedup_clusters —
+    both branches must be indistinguishable to a consumer.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return connected_components(edges, driver_threshold=0).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+QUERIES["dedup_clusters_distributed"] = dedup_clusters_distributed
+ORACLES["dedup_clusters_distributed"] = DEDUP_CLUSTERS_SQL
+
+
 # 8. Benchmark decontamination -------------------------------------------------
 
 DECON_N = 5  # long shingles, as real decontamination pipelines use (8-13

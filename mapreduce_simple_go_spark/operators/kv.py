@@ -290,7 +290,9 @@ QUERIES["kv_shard_distribution"] = kv_shard_distribution
 ORACLES["kv_shard_distribution"] = KV_SHARD_SQL
 
 
-def kv_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kv_stream_final_state(
+    spark: SparkSession, sf_dir: str, n_files: int = 1
+) -> DataFrame:
     """Registry entry that runs the REAL Structured Streaming stateful fold.
 
     The write log replays through ``streaming.kv_append_state``
@@ -306,6 +308,12 @@ def kv_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (version = max seq applied, emitted by the stateful fold itself) —
     correct for any micro-batch split of the drain; sink row order is never
     consulted.
+
+    ``n_files`` > 1 stages the log as that many contiguous-seq file drops
+    and drains with maxFilesPerTrigger=1, forcing a multi-micro-batch
+    drain of THIS exact code path (state carried across batches, version
+    re-emissions per batch) — tests/test_streaming.py asserts n_files=3
+    produces the identical result.
     """
     import shutil
     import tempfile
@@ -316,14 +324,34 @@ def kv_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops = kv_ops(spark, sf_dir).filter(F.col("op") != "get").orderBy("seq")
     root = tempfile.mkdtemp(prefix="kv_stream_q_")
     try:
-        stage = os.path.join(root, "stage")
         src = os.path.join(root, "src")
         os.makedirs(src)
-        ops.coalesce(1).write.mode("overwrite").parquet(stage)
-        pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        shutil.copy(os.path.join(stage, pfile), os.path.join(src, "drop0.parquet"))
+        if n_files <= 1:
+            splits = [ops]
+        else:
+            # contiguous seq ranges: drop order = seq order, the stream's
+            # arrival-order contract (out-of-order arrival is a different
+            # operator — the watermarked dedup path covers that).
+            hi = ops.agg(F.max("seq")).first()[0] + 1
+            splits = [
+                ops.filter(
+                    (F.col("seq") >= i * hi / n_files)
+                    & (F.col("seq") < (i + 1) * hi / n_files)
+                )
+                for i in range(n_files)
+            ]
+        for i, part in enumerate(splits):
+            stage = os.path.join(root, f"stage{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            shutil.copy(
+                os.path.join(stage, pfile), os.path.join(src, f"drop{i}.parquet")
+            )
         schema = spark.read.parquet(src).schema
-        stream = spark.readStream.schema(schema).parquet(src)
+        reader = spark.readStream.schema(schema)
+        if n_files > 1:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        stream = reader.parquet(src)
         name = "kvsfs_" + uuid.uuid4().hex[:8]
         # Size the stateful shuffle to the state's key cardinality (50 keys
         # here): state-store partitions are fixed at the first checkpoint of

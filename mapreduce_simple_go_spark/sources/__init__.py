@@ -41,11 +41,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       the same naive-as-UTC reading DuckDB applies.
     - TIMESTAMP(MICROS, adjusted): already TimestampType.
     """
-    # Self-contained under ANY session: nanosAsLong is runtime-settable, so
-    # set it here rather than relying on session construction (session.
-    # get_spark also sets it, but callers may hand us a plain SparkSession
-    # -- e.g. the external correctness harness).
+    # Self-contained under ANY session: nanosAsLong and session.timeZone are
+    # runtime-settable, so set them here rather than relying on session
+    # construction (session.get_spark also sets them, but callers may hand
+    # us a plain SparkSession -- e.g. the external correctness harness).
+    # timeZone=UTC matters for the NTZ branch of _normalize_ts: the NTZ->TS
+    # cast interprets the wall clock in the session TZ, and the oracle
+    # (DuckDB) reads the same values naive-as-UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return _normalize_ts(ev)
 

@@ -40,6 +40,7 @@ def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     from ..sources import _normalize_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(src_dir).schema
     ev = spark.readStream.schema(schema).parquet(src_dir)
     return _normalize_ts(ev)

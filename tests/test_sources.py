@@ -170,8 +170,8 @@ def test_normalize_ts_handles_all_fixture_generations(spark, tmp_path):
     assert set(got.values()) == {epoch_us}, got
 
 
-def test_cli_list_and_run(spark):
-    """python -m mapreduce_simple_go_spark: list + run against the fixture."""
+def test_cli_list_and_run(spark, tmp_path):
+    """python -m mapreduce_simple_go_spark: list, run, --out, bad-name paths."""
     from mapreduce_simple_go_spark.__main__ import main
     import contextlib, io
 
@@ -180,3 +180,21 @@ def test_cli_list_and_run(spark):
         assert main(["list"]) == 0
     names = buf.getvalue().split()
     assert "wc" in names and len(names) >= 100
+
+    # run by name (in-process: the CLI must NOT stop the caller's session)
+    out = tmp_path / "wc.parquet"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            ["run", "wc", "--sf-dir", SF_DIR, "--limit", "1", "--out", str(out)]
+        )
+    assert rc == 0
+    assert f"wrote {out}" in buf.getvalue()
+    assert spark.read.parquet(str(out)).count() > 0
+    assert spark.sparkContext._jsc is not None  # session survived
+
+    # unknown query name: exit 2 + the available names on stderr, no traceback
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        assert main(["run", "no_such_query"]) == 2
+    assert "unknown query" in err.getvalue() and "wc" in err.getvalue()

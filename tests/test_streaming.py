@@ -511,3 +511,21 @@ def test_foreachbatch_topk_matches_batch(spark, events_src, tmp_path):
         .select("event_type", "hour", "n_events", "rank")
     )
     assert got == want and len(got) > 0
+
+
+def test_kv_stream_final_state_multifile_drain_same_hash(spark):
+    """The kv_stream_final_state REGISTRY path itself, drained as 3
+    micro-batches (3 contiguous-seq file drops + maxFilesPerTrigger=1),
+    must produce exactly the single-file drain's result — the versioned
+    fold's "correct for any micro-batch split" claim, tested on the very
+    code the driver's correctness gate hashes. Mirrors the reference's
+    duplicate-delivery discipline (src/models/kv.go:40-54: re-applied ops
+    must not change visible state)."""
+    from mapreduce_simple_go_spark.operators.kv import kv_stream_final_state
+
+    one = sorted_rows(kv_stream_final_state(spark, SF_DIR, n_files=1))
+    three = sorted_rows(kv_stream_final_state(spark, SF_DIR, n_files=3))
+    assert len(one) > 0
+    assert one == three
+    # and both equal the batch fold (the shared DuckDB oracle's semantics)
+    assert one == sorted_rows(kv_final_state(spark, SF_DIR))
