@@ -439,3 +439,148 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["orc_roundtrip"] = orc_roundtrip
 ORACLES["orc_roundtrip"] = JSONL_ROUNDTRIP_SQL
 
+
+
+# Bounded-memory variants of the two aggregates whose per-group state grows
+# O(corpus) (SCALE.md: stop-word posting lists; the per-key concat strings).
+# At 100 TB the unbounded forms OOM a single aggregation buffer; these cap
+# per-group state while preserving exact global counts / recoverable output.
+
+POSTING_CAP = 8  # default top-k posting length; a production index would
+# use O(10^3) — small here so fixture-scale runs actually exercise truncation
+
+
+def inverted_index_capped(
+    spark: SparkSession, sf_dir: str, k: int = POSTING_CAP
+) -> DataFrame:
+    """Inverted index with posting lists capped to the first ``k`` docs.
+
+    Scale story: the unbounded index's collect_set holds EVERY doc per word
+    in one aggregation buffer — stop words make that O(corpus). Here the
+    bound comes from a sort-based window (spills gracefully) instead of an
+    in-memory array: dedup (word, doc), rank docs per word, and aggregate
+    with a rank-conditional collect_list that holds at most ``k`` elements
+    per group. ``n_docs`` stays the TRUE document frequency (counted over
+    all rows, pre-cap) and ``truncated`` flags capped words. One exchange
+    for the dedup, one for the word partitioning; the final groupBy rides
+    the window's partitioning with no third shuffle (pinned in
+    tests/test_plans.py).
+    """
+    from pyspark.sql import Window
+
+    toks = doc_tokens(_docs(spark, sf_dir)).select(
+        "word", F.col("doc_id").cast("string").alias("doc")
+    )
+    t = toks.groupBy("word", "doc").agg(F.lit(1).alias("_one")).drop("_one")
+    rn = F.row_number().over(Window.partitionBy("word").orderBy("doc"))
+    return (
+        t.withColumn("rn", rn)
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") <= k, F.col("doc")))
+            ).alias("docs_arr"),
+        )
+        .select(
+            "word",
+            "n_docs",
+            F.size("docs_arr").cast("long").alias("n_kept"),
+            F.array_join("docs_arr", ",").alias("docs_capped"),
+            (F.col("n_docs") > k).alias("truncated"),
+        )
+    )
+
+
+INVERTED_INDEX_CAPPED_SQL = f"""
+WITH t AS (
+  SELECT DISTINCT word, doc
+  FROM (
+    SELECT unnest({DUCK_TOKENS.format(col='text')}) AS word,
+           CAST(doc_id AS VARCHAR) AS doc
+    FROM documents
+  )
+),
+r AS (
+  SELECT word, doc, row_number() OVER (PARTITION BY word ORDER BY doc) AS rn
+  FROM t
+)
+SELECT word,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN rn <= {POSTING_CAP} THEN 1 END) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn <= {POSTING_CAP} THEN doc END,
+                           ',' ORDER BY doc), '') AS docs_capped,
+       COUNT(*) > {POSTING_CAP} AS truncated
+FROM r
+GROUP BY word
+"""
+
+QUERIES["inverted_index_capped"] = inverted_index_capped
+ORACLES["inverted_index_capped"] = INVERTED_INDEX_CAPPED_SQL
+
+
+CHUNK_VALUES = 64  # values per emitted chunk row
+
+
+def per_file_metrics_chunked(
+    spark: SparkSession, sf_dir: str, chunk: int = CHUNK_VALUES
+) -> DataFrame:
+    """per_file_metrics with the O(corpus) concat split into bounded chunks.
+
+    Same contract as the reference's per-partition output files: one row per
+    (key, chunk_no) holding ``chunk`` sorted values joined by spaces;
+    concatenating chunks in chunk_no order reproduces per_file_metrics'
+    merged string exactly. Chunk membership is deterministic even with
+    duplicate values (equal values are interchangeable across a rank
+    boundary, so the emitted strings are identical). Per-group aggregation
+    state is bounded by ``chunk``; the global sort is a window (sort-based,
+    spills) rather than an array build.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc"),
+        F.octet_length("text").alias("blen"),
+    )
+    kv = docs.select(
+        F.expr(
+            "stack(4, 'a', doc, 'b', cast(length(doc) as string), "
+            "'c', cast(blen as string), 'd', 'xyzzy') as (key, value)"
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("key").orderBy("value"))
+    return (
+        kv.withColumn("chunk_no", ((rn - F.lit(1)) / chunk).cast("long"))
+        .groupBy("key", "chunk_no")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.array_join(F.sort_array(F.collect_list("value")), " ").alias("merged"),
+        )
+    )
+
+
+PER_FILE_METRICS_CHUNKED_SQL = f"""
+WITH kv AS (
+  SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents
+  UNION ALL
+  SELECT 'b', CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'c', CAST(strlen(text) AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'd', 'xyzzy' FROM documents
+),
+r AS (
+  SELECT key, value,
+         (row_number() OVER (PARTITION BY key ORDER BY value) - 1)
+           // {CHUNK_VALUES} AS chunk_no
+  FROM kv
+)
+SELECT key, chunk_no,
+       COUNT(*) AS n_values,
+       string_agg(value, ' ' ORDER BY value) AS merged
+FROM r
+GROUP BY key, chunk_no
+"""
+
+QUERIES["per_file_metrics_chunked"] = per_file_metrics_chunked
+ORACLES["per_file_metrics_chunked"] = PER_FILE_METRICS_CHUNKED_SQL

@@ -15,6 +15,8 @@ SUITE=(
   tests/test_output_stability.py
   tests/test_parallelism.py
   tests/test_streaming_recovery.py
+  tests/test_streaming.py
+  tests/test_executor_kill.py
 )
 for i in $(seq 1 "$N"); do
   echo "=== trial $i/$N ==="

@@ -313,3 +313,52 @@ def test_pagerank_iteration_joins_have_partial_aggregation(spark):
     df = word_pagerank(spark, SF_DIR)
     assert has_partial_aggregation(df)
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_inverted_index_capped_bounded_state_two_shuffles(spark):
+    """The capped index's scale contract: per-group aggregation state is
+    bounded by the cap (rank-conditional collect_list, not an unbounded
+    collect_set), and the bound costs no third shuffle — one Exchange for
+    the (word, doc) dedup, one for the word window; the final groupBy rides
+    the window's partitioning."""
+    from mapreduce_simple_go_spark.operators.text import inverted_index_capped
+
+    df = inverted_index_capped(spark, SF_DIR, k=3)
+    assert count_operator(df, "Exchange") == 2
+    assert count_operator(df, "Window") == 1
+    rows = df.collect()
+    assert all(r.n_kept <= 3 for r in rows)
+    # true document frequency survives the cap, and the cap actually bites
+    assert any(r.truncated and r.n_docs > 3 for r in rows)
+    capped = {r.word: r for r in rows}
+    from mapreduce_simple_go_spark.operators.text import inverted_index
+
+    for r in inverted_index(spark, SF_DIR).collect():
+        c = capped[r.word]
+        assert c.n_docs == r.n_docs
+        # capped postings are a prefix of the full sorted posting list
+        full = r.docs.split(",")
+        assert c.docs_capped.split(",")[: c.n_kept] == full[: c.n_kept]
+
+
+def test_per_file_metrics_chunked_bounded_rows_single_shuffle(spark):
+    """Chunked concat: every output row holds <= chunk values (bounded
+    string), chunks concatenated in order reproduce the unbounded merged
+    string exactly, and the chunking adds no second shuffle — the groupBy
+    (key, chunk_no) is satisfied by the window's HashPartitioning(key)."""
+    from mapreduce_simple_go_spark.operators.text import (
+        per_file_metrics,
+        per_file_metrics_chunked,
+    )
+
+    chunk = 16
+    df = per_file_metrics_chunked(spark, SF_DIR, chunk=chunk)
+    assert count_operator(df, "Exchange") == 1
+    rows = df.collect()
+    assert all(r.n_values <= chunk for r in rows)
+    assert any(r.chunk_no > 0 for r in rows)  # chunking actually engaged
+    rebuilt = {}
+    for r in sorted(rows, key=lambda r: (r.key, r.chunk_no)):
+        rebuilt[r.key] = (rebuilt.get(r.key, "") + " " + r.merged).strip()
+    want = {r.key: r.merged for r in per_file_metrics(spark, SF_DIR).collect()}
+    assert rebuilt == want
