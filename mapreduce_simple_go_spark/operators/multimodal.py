@@ -4,11 +4,14 @@ Pattern for image/audio/video at 100 TB: media as ``binary`` columns with a
 typed metadata struct alongside, processed by Arrow-batched ``mapInPandas``
 (one Python process per partition, columnar transfer, no per-row overhead).
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``decode_media`` raises NotImplementedError for real formats and provides a
-deterministic fake decode for the synthetic fixture — the Spark-side
-contract (schemas, batching, partitioning, UDF signatures) is real and
-tested in tests/test_multimodal.py.
+The container has no image/audio codecs, so no REAL codec ships here, but
+the decode step is a dependency-injected seam, not a dead stub: operators
+accept a ``decoders`` mapping (fmt -> bytes->bytes) or pick up process-wide
+``register_decoder`` registrations; unregistered formats raise
+NotImplementedError. The Spark-side contract (schemas, batching,
+partitioning, UDF signatures, executor-side codec dispatch) is real and
+tested in tests/test_multimodal.py — including an injected custom codec and
+a skipped-unless-PIL-available real-PNG decode.
 
 The fixture has no binary table; :func:`synth_media` derives a deterministic
 binary column from documents.text (utf-8 bytes as the "payload").
@@ -18,7 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -54,17 +57,42 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, fmt: str) -> bytes:
-    """Decode a media payload. STUB: only the synthetic format is supported.
+# Dependency-injected codec seam. A decoder is `bytes -> bytes` (compressed
+# payload -> raw sample bytes). The synthetic format ships by default; a
+# deployment with real codec libs registers them here (or passes a mapping
+# straight to the operators) and every multimodal operator picks them up —
+# the decoders dict rides the cloudpickled closure to executors, so no
+# executor-side import wiring is needed beyond the codec lib itself.
+#
+#     import mapreduce_simple_go_spark.operators.multimodal as mm
+#     mm.register_decoder("image/png", lambda b: PIL_decode(b))
+#
+DECODERS: dict[str, Callable[[bytes], bytes]] = {"fake/raw": lambda b: b}
+
+
+def register_decoder(fmt: str, fn: Callable[[bytes], bytes]) -> None:
+    """Register a real codec for ``fmt`` (process-wide default decoders)."""
+    DECODERS[fmt] = fn
+
+
+def decode_media(
+    payload: bytes, fmt: str, decoders: dict[str, Callable[[bytes], bytes]] | None = None
+) -> bytes:
+    """Decode a media payload with the injected (or default) codec table.
 
     Real formats (image/jpeg, audio/wav, ...) require codec libraries not
-    present in this container — they raise NotImplementedError; the
-    deterministic fake path keeps the pipeline testable end-to-end.
+    present in this container — unregistered formats raise
+    NotImplementedError; the deterministic fake path keeps the pipeline
+    testable end-to-end, and tests/test_multimodal.py proves the injection
+    seam with a custom codec (plus a skipped-unless-PIL-available real one).
     """
-    if fmt == "fake/raw":
-        return payload
+    table = DECODERS if decoders is None else decoders
+    fn = table.get(fmt)
+    if fn is not None:
+        return fn(payload)
     raise NotImplementedError(
-        f"no codec for {fmt!r} in this environment; plug a real decoder here"
+        f"no codec for {fmt!r} in this environment; register_decoder() or "
+        "pass decoders={...} to plug one in"
     )
 
 
@@ -85,18 +113,25 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    decoders: dict[str, Callable[[bytes], bytes]] | None = None,
+) -> DataFrame:
     """Batched feature extraction over the binary column via mapInPandas.
 
     Arrow delivers whole column batches to Python; each batch is processed
     vectorized-ish (per-row hash here, a model batch-forward in real life).
     Column pruning still works: only (doc_id, media, media_meta) are read.
+    ``decoders`` injects real codecs (fmt -> bytes->bytes); the mapping is
+    captured by the cloudpickled closure, so it reaches executors with no
+    extra wiring.
     """
+    table = dict(DECODERS if decoders is None else decoders)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [
-                decode_media(bytes(m), meta["format"])
+                decode_media(bytes(m), meta["format"], table)
                 for m, meta in zip(pdf["media"], pdf["media_meta"])
             ]
             yield pd.DataFrame(
@@ -120,15 +155,20 @@ FRAMES_SCHEMA = StructType(
 )
 
 
-def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+def frame_sample(
+    media: DataFrame,
+    n_frames: int = 4,
+    decoders: dict[str, Callable[[bytes], bytes]] | None = None,
+) -> DataFrame:
     """'Video' frame sampling: split each payload into n_frames equal chunks,
     one feature row per chunk — the 1:N mapInPandas shape (UDTF-style)."""
+    table = dict(DECODERS if decoders is None else decoders)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_id, out_no, out_frame = [], [], []
             for doc_id, m, meta in zip(pdf["doc_id"], pdf["media"], pdf["media_meta"]):
-                payload = decode_media(bytes(m), meta["format"])
+                payload = decode_media(bytes(m), meta["format"], table)
                 step = max(1, len(payload) // n_frames)
                 for i in range(n_frames):
                     chunk = payload[i * step : (i + 1) * step]
