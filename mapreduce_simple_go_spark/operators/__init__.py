@@ -40,33 +40,33 @@ def _modules():
 # current round — a self-sweep is not an independent verdict. Names rotate
 # out only once a green row exists for the code at HEAD.
 _WINDOW_PRIORITY = [
-    # round-4 fixes for the two r3 hash mismatches (int64/float64 dtype split)
+    # new in round 5 — no driver verdict yet
+    "dedup_clusters_distributed",
+    "inverted_index_capped",
+    "per_file_metrics_chunked",
+    "stream_hourly_counts",
+    # code changed in round 5 (multi-file drain param; uuid view hygiene)
+    "kv_stream_final_state",
+    "events_rollup_multigrain",
+    # every query that loads events goes through sources.load_events /
+    # streaming.stream_events, whose timestamp normalization changed in
+    # round 5 (session TZ pinned to UTC) — re-verify the whole family
+    "events_hourly",
+    "sessionization",
+    "top_event_values",
+    "events_sliding",
     "events_props_json",
     "user_event_pivot",
-    # rewritten in round 3, never inside a driver window since the rewrite
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ann_ivf_topk",
-    "embedding_near_dup_ivf",
-    # rewritten in round 4 (stateful-fold versioning; see kv.py)
-    "kv_stream_final_state",
-    # new in round 4
-    "kmeans_clusters",
-    "pii_scrub",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    "word_pagerank",
-    "multimodal_dedup",
-    "quality_model_score",
-    "length_bucket_batches",
-    "embedding_quantize_error",
+    "purchase_within_hour_of_click",
+    "funnel_signup_click_purchase",
+    "retention_cohorts",
     "stream_sessions_gap_closed",
-    "label_centroids",
-    "dedup_minhash_incremental",
-    "range_join_brackets",
-    "bm25_scores",
-    "events_rollup_multigrain",
+    "asof_last_purchase",
+    "event_value_delta",
+    "kv_get_visible",
+    "kv_final_state",
+    "kv_final_state_dedup",
+    "kv_shard_distribution",
 ]
 
 

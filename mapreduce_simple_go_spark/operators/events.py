@@ -9,6 +9,8 @@ assert. Keeping a batch twin also makes the semantics DuckDB-checkable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -540,3 +542,44 @@ GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type))
 
 QUERIES["events_rollup_multigrain"] = events_rollup_multigrain
 ORACLES["events_rollup_multigrain"] = EVENTS_ROLLUP_SQL
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry that runs the REAL watermarked streaming aggregation.
+
+    events replayed through ``streaming.hourly_counts`` (withWatermark +
+    window groupBy — the unbounded-deployment operator) with an availableNow
+    drain in complete mode; the final sink table must equal the batch
+    events_hourly result, so this row SHARES its DuckDB oracle. Together
+    with kv_stream_final_state (stateful fold) and stream_sessions_gap_closed
+    (session windows), all three streaming operator families have a
+    correctness row hashing actual streaming-engine output.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import hourly_counts, run_available_now, stream_events
+
+    root = tempfile.mkdtemp(prefix="ev_stream_q_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        name = "evh_" + uuid.uuid4().hex[:8]
+        stream = stream_events(spark, src)
+        run_available_now(hourly_counts(stream), name, "complete")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.sql(
+        f"SELECT hour, event_type, n_events, total_value FROM {name}"
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+QUERIES["stream_hourly_counts"] = stream_hourly_counts
+ORACLES["stream_hourly_counts"] = EVENTS_HOURLY_SQL
