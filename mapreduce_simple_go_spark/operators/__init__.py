@@ -45,6 +45,7 @@ _WINDOW_PRIORITY = [
     "inverted_index_capped",
     "per_file_metrics_chunked",
     "stream_hourly_counts",
+    "csv_roundtrip",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

@@ -584,3 +584,53 @@ GROUP BY key, chunk_no
 
 QUERIES["per_file_metrics_chunked"] = per_file_metrics_chunked
 ORACLES["per_file_metrics_chunked"] = PER_FILE_METRICS_CHUNKED_SQL
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source coverage (the interchange format, after parquet/
+    jsonl/orc).
+
+    Same contract as :func:`jsonl_roundtrip`, but CSV is the adversarial
+    case: document text contains commas, quotes and newlines, so the
+    writer's quoting/escaping and the reader's multiLine parsing are what
+    is actually under test — the oracle hash catches any mangling. escape
+    is pinned to the double-quote convention both writers and DuckDB agree
+    on; emptyValue distinguishes '' from NULL so the roundtrip is lossless.
+    """
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="csv_rt_")
+    try:
+        path = os.path.join(root, "docs")
+        (
+            d.write.mode("overwrite")
+            .option("header", "true")
+            .option("escape", '"')
+            .option("emptyValue", '""')
+            .csv(path)
+        )
+        back = (
+            spark.read.schema(d.schema)
+            .option("header", "true")
+            .option("escape", '"')
+            .option("multiLine", "true")
+            .option("emptyValue", '""')
+            .csv(path)
+        )
+        return (
+            back.select(
+                "doc_id",
+                "lang",
+                "source",
+                "n_chars",
+                F.length("text").cast("long").alias("n_text_chars"),
+            ).localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES["csv_roundtrip"] = csv_roundtrip
+ORACLES["csv_roundtrip"] = JSONL_ROUNDTRIP_SQL
