@@ -904,24 +904,51 @@ QUANT_LEVELS = 255
 
 def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization audit: levels used + max reconstruction
-    error (9 dp)."""
+    error (9 dp).
+
+    Still map-only/zero-shuffle (plan-pinned), but staged through FOUR
+    projections instead of one nested expression: building err->deq->q->
+    x/mn/rng as one tree duplicates the array_min/array_max subtrees into
+    every lambda (each reference re-substitutes the whole child expression),
+    which evaluated O(dim^2)-ish per row — measured 2.6-4.3 s at sf0.1.
+    With mn/rng materialized as plain columns the lambdas reference a
+    BoundReference instead, and CollapseProject leaves non-cheap multiply-
+    referenced projections alone: 0.12-0.32 s, same bit-exact arithmetic
+    (operation order unchanged). Same family of fix as word_pagerank's
+    re-tokenization (commit f3d6571); see .claude/skills/verify gotchas.
+    """
     e = _emb(spark, sf_dir)
-    x = F.transform("embedding", lambda v: v.cast("double"))
-    mn, mx = F.array_min(x), F.array_max(x)
-    rng = mx - mn
+    lv = F.lit(float(QUANT_LEVELS))
+    d1 = e.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
+    )
+    d2 = d1.select(
+        "vec_id",
+        "x",
+        F.array_min("x").alias("mn"),
+        (F.array_max("x") - F.array_min("x")).alias("rng"),
+    )
     q = F.transform(
-        x,
+        "x",
         lambda v: F.least(
-            F.floor((v - mn) * F.lit(float(QUANT_LEVELS)) / rng),
+            F.floor((v - F.col("mn")) * lv / F.col("rng")),
             F.lit(QUANT_LEVELS).cast("long"),
         ),
     )
-    deq = F.transform(q, lambda b: mn + b.cast("double") * rng / F.lit(float(QUANT_LEVELS)))
-    err = F.array_max(F.zip_with(x, deq, lambda a, b: F.abs(a - b)))
-    return e.select(
+    d3 = d2.select("vec_id", "x", "mn", "rng", q.alias("q"))
+    deq = F.transform(
+        "q", lambda b: F.col("mn") + b.cast("double") * F.col("rng") / lv
+    )
+    err = F.array_max(F.zip_with("x", deq, lambda a, b: F.abs(a - b)))
+    return d3.select(
         "vec_id",
-        F.when(rng == 0, F.lit(1)).otherwise(F.size(F.array_distinct(q))).cast("long").alias("n_levels_used"),
-        F.when(rng == 0, F.lit(0.0)).otherwise(F.round(err, 9)).alias("max_abs_err"),
+        F.when(F.col("rng") == 0, F.lit(1))
+        .otherwise(F.size(F.array_distinct("q")))
+        .cast("long")
+        .alias("n_levels_used"),
+        F.when(F.col("rng") == 0, F.lit(0.0))
+        .otherwise(F.round(err, 9))
+        .alias("max_abs_err"),
     )
 
 
