@@ -46,6 +46,8 @@ _WINDOW_PRIORITY = [
     "per_file_metrics_chunked",
     "stream_hourly_counts",
     "csv_roundtrip",
+    "stream_dedup_counts",
+    "schema_evolution_roundtrip",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

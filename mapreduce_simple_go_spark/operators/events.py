@@ -583,3 +583,67 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["stream_hourly_counts"] = stream_hourly_counts
 ORACLES["stream_hourly_counts"] = EVENTS_HOURLY_SQL
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry running the REAL watermark-bounded streaming dedup.
+
+    An at-least-once delivery log (every 5th event deterministically
+    re-delivered, appended after the originals) replays through
+    ``streaming.dedup_events_stream`` (dropDuplicatesWithinWatermark —
+    state bounded by event time, unlike plain dropDuplicates) with an
+    availableNow drain; the surviving rows aggregate per event_type. The
+    oracle is the plain batch count over the ORIGINAL events: equality
+    proves every duplicate died in the stream (without dedup the counts
+    run 20% hot). Fourth streaming family under the driver's hash gate,
+    after the stateful fold, session windows and watermarked window agg.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import dedup_events_stream, run_available_now
+
+    ev = load_events(spark, sf_dir)
+    log = ev.unionByName(ev.filter(F.col("event_id") % 5 == 0))
+    root = tempfile.mkdtemp(prefix="ev_dedup_q_")
+    try:
+        stage = os.path.join(root, "stage")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        log.coalesce(1).write.mode("overwrite").parquet(stage)
+        pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, pfile), os.path.join(src, "drop0.parquet"))
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        name = "evdd_" + uuid.uuid4().hex[:8]
+        run_available_now(
+            dedup_events_stream(stream).select("event_type", "event_id"),
+            name,
+            "append",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.sql(
+        f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_id) AS n_distinct
+        FROM {name}
+        GROUP BY event_type
+        """
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_distinct
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["stream_dedup_counts"] = stream_dedup_counts
+ORACLES["stream_dedup_counts"] = STREAM_DEDUP_SQL

@@ -634,3 +634,54 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["csv_roundtrip"] = csv_roundtrip
 ORACLES["csv_roundtrip"] = JSONL_ROUNDTRIP_SQL
+
+
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: two writer generations, one merged read.
+
+    The data-lake reality check the other roundtrips don't cover: an early
+    ingest generation wrote documents WITHOUT the ``source`` column; a
+    later generation added it. Both live under one table path and
+    ``mergeSchema`` must union the schemas, null-filling the missing
+    column for old files — the read-side contract a 100 TB lake depends on
+    when columns are added without rewriting history. The query projects
+    the merged result with a COALESCE backfill; the oracle reproduces it
+    from the original table (even doc_ids = generation-1 rows).
+    """
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="schev_rt_")
+    try:
+        path = os.path.join(root, "docs")
+        gen1 = d.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        gen2 = d.filter(F.col("doc_id") % 2 != 0)
+        gen1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+        gen2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        return (
+            back.select(
+                "doc_id",
+                "lang",
+                F.coalesce("source", F.lit("(pre-schema)")).alias("source_evolved"),
+                "n_chars",
+                F.length("text").cast("long").alias("n_text_chars"),
+            ).localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 0 THEN '(pre-schema)' ELSE source END AS source_evolved,
+       n_chars,
+       CAST(len(text) AS BIGINT) AS n_text_chars
+FROM documents
+"""
+
+QUERIES["schema_evolution_roundtrip"] = schema_evolution_roundtrip
+ORACLES["schema_evolution_roundtrip"] = SCHEMA_EVOLUTION_SQL
