@@ -48,6 +48,10 @@ _WINDOW_PRIORITY = [
     "csv_roundtrip",
     "stream_dedup_counts",
     "schema_evolution_roundtrip",
+    "heavy_hitters_cms",
+    "bigram_lm",
+    "scd2_user_state",
+    "bloom_decontaminate",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

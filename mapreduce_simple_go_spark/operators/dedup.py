@@ -1005,3 +1005,172 @@ LEFT JOIN best b ON b.inc_id = i.doc_id AND b.rn = 1
 
 QUERIES["dedup_minhash_incremental"] = dedup_minhash_incremental
 ORACLES["dedup_minhash_incremental"] = DEDUP_MINHASH_INCR_SQL
+
+
+# 9. Bloom-filter decontamination ----------------------------------------------
+#
+# Companion to decontaminate_overlap (exact broadcast semi-join): the Bloom
+# formulation caps the broadcast state at m bits REGARDLESS of how large the
+# benchmark suite grows — the production choice when the blocklist itself is
+# big. False positives are possible (over-flagging = safe direction); false
+# negatives are impossible, and that invariant is oracle-checked per doc.
+
+BLOOM_M = 1 << 16  # filter bits
+BLOOM_K = 3        # hash functions
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through an m-bit Bloom filter.
+
+    Build: every eval-set shingle (doc_id % 20 == 0) sets BLOOM_K bit
+    positions via Kirsch-Mitzenmacher double hashing — ONE md5 per shingle
+    yields (h1, h2) from disjoint digest halves, pos_j = (h1 + j*h2) mod m
+    — which preserves Bloom asymptotics while paying a single digest
+    instead of K. The set-bit list is
+    aggregated to ONE row (<= m entries — bounded by the filter size, not
+    the corpus) and broadcast. Probe: a training shingle is bloom-positive
+    iff all K of its positions are set; a doc is flagged iff any of its
+    shingles is bloom-positive.
+
+    Because both engines recompute the same md5-derived hash48, the DuckDB
+    oracle reproduces the bloom verdicts bit-for-bit — including false
+    positives — and additionally pins the one-sided-error contract:
+    ``no_false_negative`` must be TRUE on every row (exact-contaminated
+    implies bloom-flagged).
+
+    Scale shape: the set-bit table is <= BLOOM_M rows (bounded by the
+    filter size, not the corpus) and broadcasts; each of the K membership
+    probes is a broadcast hash join on the probe's bit position — an O(1)
+    hash lookup per shingle, map-side, never a shuffle of the training
+    side. (A one-row broadcast array + ``array_contains`` encodes the same
+    thing but linear-scans all m positions PER PROBE — measured 20x slower
+    at sf0.1.) The only shuffle is the per-doc rollup, which rides doc_id.
+    Compare decontaminate_overlap, whose broadcast grows with the eval set.
+    """
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 20 == 0
+
+    def positions(col, j):
+        # h1/h2 from disjoint md5 halves; h1 + j*h2 < 2^48 + K*2^48 << 2^63
+        h1 = F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5(col), 13, 12), 16, 10).cast("long")
+        return (h1 + F.lit(j) * h2) % BLOOM_M
+
+    ev_sh = doc_shingles(docs.filter(is_eval), DECON_N).select("shingle").distinct()
+    ev_pos = (
+        ev_sh.select(
+            F.explode(
+                F.array(*[positions(F.col("shingle"), j) for j in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+    tr_sh = doc_shingles(docs.filter(~is_eval), DECON_N)
+    probed = tr_sh.select(
+        "doc_id",
+        "shingle",
+        *[positions(F.col("shingle"), j).alias(f"p{j}") for j in range(BLOOM_K)],
+    )
+    for j in range(BLOOM_K):
+        marker = ev_pos.select(
+            F.col("pos").alias(f"p{j}"), F.lit(True).alias(f"b{j}")
+        )
+        probed = probed.join(F.broadcast(marker), f"p{j}", "left")
+    hit = F.expr(" AND ".join(f"(b{j} IS NOT NULL)" for j in range(BLOOM_K)))
+    per_doc = probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(hit.cast("long")).alias("n_bloom_hits"),
+    )
+    exact = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) >= 1).alias("bloom_flagged"),
+            (F.coalesce("n_exact", F.lit(0)) >= 1).alias("exact_flagged"),
+            (
+                (F.coalesce("n_bloom_hits", F.lit(0)) >= 1)
+                | (F.coalesce("n_exact", F.lit(0)) < 1)
+            ).alias("no_false_negative"),
+        )
+    )
+
+
+def _duck_half_hash48(expr: str, hex_offset: int) -> str:
+    """DuckDB 48-bit int from 12 hex chars of md5(expr) starting after
+    ``hex_offset`` chars (0 = hash48's own half, 12 = the second half)."""
+    return (
+        "CAST(list_sum(list_transform(range(1,13), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({expr}), i + {hex_offset}, 1)) - 1) "
+        "* power(16::DOUBLE, 12 - i))) AS BIGINT)"
+    )
+
+
+def _bloom_pos_sql(j: int, expr: str) -> str:
+    h1 = _duck_half_hash48(expr, 0)
+    h2 = _duck_half_hash48(expr, 12)
+    return f"(({h1}) + {j} * ({h2})) % {BLOOM_M}"
+
+
+_BLOOM_PROBE = " AND ".join(
+    f"p{j} IN (SELECT pos FROM ev_pos)" for j in range(BLOOM_K)
+)
+
+BLOOM_DECON_SQL = f"""
+WITH ev_sh AS (
+  SELECT DISTINCT unnest(list_distinct({_DUCK_DECON_SHINGLES})) AS shingle
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents WHERE doc_id % 20 = 0)
+  WHERE len(t) >= {DECON_N}
+),
+ev_pos AS (
+  SELECT DISTINCT unnest(
+           [{", ".join(_bloom_pos_sql(j, 'shingle') for j in range(BLOOM_K))}]
+         ) AS pos
+  FROM ev_sh
+),
+tr_sh AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_DECON_SHINGLES})) AS shingle
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents WHERE doc_id % 20 <> 0)
+  WHERE len(t) >= {DECON_N}
+),
+tr_pos AS (
+  SELECT doc_id, shingle,
+         {", ".join(f"{_bloom_pos_sql(j, 'shingle')} AS p{j}" for j in range(BLOOM_K))}
+  FROM tr_sh
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN {_BLOOM_PROBE} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits
+  FROM tr_pos
+  GROUP BY doc_id
+),
+exact AS (
+  SELECT doc_id, COUNT(*) AS n_exact
+  FROM tr_sh WHERE shingle IN (SELECT shingle FROM ev_sh)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_shingles, 0) AS n_shingles,
+       COALESCE(p.n_bloom_hits, 0) AS n_bloom_hits,
+       COALESCE(p.n_bloom_hits, 0) >= 1 AS bloom_flagged,
+       COALESCE(e.n_exact, 0) >= 1 AS exact_flagged,
+       (COALESCE(p.n_bloom_hits, 0) >= 1 OR COALESCE(e.n_exact, 0) < 1)
+         AS no_false_negative
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+LEFT JOIN exact e ON d.doc_id = e.doc_id
+"""
+
+QUERIES["bloom_decontaminate"] = bloom_decontaminate
+ORACLES["bloom_decontaminate"] = BLOOM_DECON_SQL

@@ -647,3 +647,48 @@ GROUP BY event_type
 
 QUERIES["stream_dedup_counts"] = stream_dedup_counts
 ORACLES["stream_dedup_counts"] = STREAM_DEDUP_SQL
+
+
+# Slowly-changing-dimension (type 2) build ------------------------------------
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: turn each user's event stream into
+    versioned validity intervals (valid_from, valid_to, is_current).
+
+    The warehouse-ETL shape for "what was this user's state at time T":
+    every event opens a new version whose validity closes at the next
+    event's timestamp (LEAD over the per-user timeline); the last version
+    stays open (valid_to NULL, is_current TRUE). Intervals are half-open: [valid_from, valid_to).
+
+    Scale shape: one shuffle on user_id; both window passes (lead +
+    row_number) share the same (user_id, ts, event_id) sort, so Spark
+    plans a single Exchange + single Sort. No joins, no collects; output
+    is one row per input event, written partition-parallel.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+SELECT user_id,
+       ROW_NUMBER() OVER w AS version,
+       event_type,
+       value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+QUERIES["scd2_user_state"] = scd2_user_state
+ORACLES["scd2_user_state"] = SCD2_SQL

@@ -960,3 +960,182 @@ LIMIT {BM25_TOP_N}
 
 QUERIES["bm25_scores"] = bm25_scores
 ORACLES["bm25_scores"] = BM25_SQL
+
+
+# Count-min sketch heavy hitters ----------------------------------------------
+#
+# The mergeable-sketch family (companion to relational.sketch_distinct_accuracy
+# / sketch_percentile_accuracy): frequency estimation under a fixed memory
+# budget. At 100 TB the exact per-token count table is vocabulary-sized (fine),
+# but a CMS is O(d*w) REGARDLESS of vocabulary — the shape you want when the
+# key space explodes (URLs, n-grams, user agents). d*w = 4*512 counters here.
+
+CMS_D = 4    # hash rows
+CMS_W = 512  # counters per row
+CMS_TOP = 20
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token detection with a count-min sketch, differentially
+    checked against exact counts.
+
+    The sketch is built from the partial-aggregated count table (bucket
+    count = sum of counts of tokens hashing there — identical, by
+    linearity, to counting the raw occurrence stream, without paying the
+    4x explode on the full stream). Every hash is the md5-derived
+    :func:`hash48` both engines compute, so the DuckDB oracle reproduces
+    the ESTIMATES bit-for-bit, not just the exact counts — the
+    ``never_undercounts`` CMS invariant is then a checked contract, like
+    sketch_distinct_accuracy's 5%% gate.
+
+    Scale shape: one token-count shuffle (partial-agg), then the bucket
+    table is <= d*w = 2048 rows — broadcast back for the min-over-rows
+    estimate. No global sort: top-k via TakeOrderedAndProject.
+    """
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    seeded = cnt.select(
+        "tok",
+        "exact_count",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("seed"),
+    ).withColumn(
+        "bucket",
+        hash48(F.concat_ws(":", F.col("seed").cast("string"), F.col("tok")))
+        % CMS_W,
+    )
+    buckets = seeded.groupBy("seed", "bucket").agg(
+        F.sum("exact_count").alias("bucket_count")
+    )
+    est = (
+        seeded.join(F.broadcast(buckets), ["seed", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("bucket_count").alias("cms_estimate"))
+    )
+    top = est.orderBy(
+        F.desc("exact_count"), F.asc("tok")
+    ).limit(CMS_TOP)
+    return top.select(
+        "tok",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        (F.col("cms_estimate") >= F.col("exact_count")).alias(
+            "never_undercounts"
+        ),
+    )
+
+
+_CMS_HASH = duckdb_hash48("CAST(seed AS VARCHAR) || ':' || tok")
+
+HEAVY_HITTERS_CMS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                            w -> w <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok),
+seeded AS (
+  SELECT tok, exact_count, seed, ({_CMS_HASH}) % {CMS_W} AS bucket
+  FROM cnt, (SELECT unnest(range({CMS_D})) AS seed)
+),
+buckets AS (
+  SELECT seed, bucket, CAST(SUM(exact_count) AS BIGINT) AS bucket_count
+  FROM seeded GROUP BY seed, bucket
+),
+est AS (
+  SELECT s.tok, s.exact_count, MIN(b.bucket_count) AS cms_estimate
+  FROM seeded s JOIN buckets b USING (seed, bucket)
+  GROUP BY s.tok, s.exact_count
+)
+SELECT tok, exact_count, cms_estimate,
+       cms_estimate - exact_count AS overcount,
+       cms_estimate >= exact_count AS never_undercounts
+FROM est
+ORDER BY exact_count DESC, tok ASC
+LIMIT {CMS_TOP}
+"""
+
+QUERIES["heavy_hitters_cms"] = heavy_hitters_cms
+ORACLES["heavy_hitters_cms"] = HEAVY_HITTERS_CMS_SQL
+
+
+# Bigram language-model table --------------------------------------------------
+
+BIGRAM_LM_TOP = 30
+
+
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-probability table: P(w2 | w1) for the most frequent
+    transitions — the count-normalize join every n-gram LM build runs.
+
+    Differs from ngram_counts (raw occurrence counts) by the per-context
+    normalization: pair counts joined to their context totals. The context
+    totals are vocabulary-sized, which at 100 TB is typically ~1e6-1e8 rows
+    — too big to ASSUME broadcastable, so this uses a plain shuffle join on
+    w1; both sides are already partial-aggregated, so the join input is
+    counts, never the raw stream. Top-k via TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select(
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    pair_cnt = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    ctx_cnt = pair_cnt.groupBy("w1").agg(
+        F.sum("pair_count").alias("context_count")
+    )
+    return (
+        pair_cnt.join(ctx_cnt, "w1")
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "context_count",
+            F.round(
+                F.col("pair_count") / F.col("context_count").cast("double"), 9
+            ).alias("cond_p"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("w1"), F.asc("w2"))
+        .limit(BIGRAM_LM_TOP)
+    )
+
+
+BIGRAM_LM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                             w -> w <> '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+pair_cnt AS (
+  SELECT w1, w2, COUNT(*) AS pair_count FROM pairs GROUP BY w1, w2
+),
+ctx_cnt AS (
+  SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS context_count
+  FROM pair_cnt GROUP BY w1
+)
+SELECT p.w1, p.w2, p.pair_count, c.context_count,
+       round(p.pair_count / CAST(c.context_count AS DOUBLE), 9) AS cond_p
+FROM pair_cnt p JOIN ctx_cnt c ON p.w1 = c.w1
+ORDER BY p.pair_count DESC, p.w1 ASC, p.w2 ASC
+LIMIT {BIGRAM_LM_TOP}
+"""
+
+QUERIES["bigram_lm"] = bigram_lm
+ORACLES["bigram_lm"] = BIGRAM_LM_SQL

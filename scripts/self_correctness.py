@@ -5,7 +5,7 @@ every registered query against its DuckDB oracle at the driver's scale
 factor and records the same three verdicts (rows/schema/hash) per name, so
 the registry tail has on-record evidence too.
 
-Usage:  python scripts/self_correctness.py [out.json]
+Usage:  python scripts/self_correctness.py [out.json] [--only name1,name2]
 Env:    SPARK_GRAFT_TEST_SF_DIR (default /root/testdata/sf0.01)
 """
 
@@ -27,7 +27,13 @@ from tests.conftest import TABLES, rows_key  # noqa: E402
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_SELF_r03.json"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    out_path = argv[0] if argv else "CORRECTNESS_SELF_r03.json"
     spark = get_spark(app_name="self-correctness")
     duck = duckdb.connect()
     for t in TABLES:
@@ -38,6 +44,8 @@ def main() -> int:
     queries, oracles = all_queries(), all_oracles()
     results: dict[str, dict] = {}
     for name, fn in queries.items():
+        if only is not None and name not in only:
+            continue
         rec = {
             "rows_match": False,
             "schema_match": False,

@@ -362,3 +362,50 @@ def test_per_file_metrics_chunked_bounded_rows_single_shuffle(spark):
         rebuilt[r.key] = (rebuilt.get(r.key, "") + " " + r.merged).strip()
     want = {r.key: r.merged for r in per_file_metrics(spark, SF_DIR).collect()}
     assert rebuilt == want
+
+
+def test_cms_bucket_table_broadcasts(spark):
+    """The count-min bucket table is <= d*w rows by construction — the
+    estimate join must broadcast it, never shuffle the token-count side a
+    second time."""
+    from mapreduce_simple_go_spark.operators.textstats import heavy_hitters_cms
+
+    plan = formatted_plan(heavy_hitters_cms(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_bigram_lm_join_is_count_sided_take_ordered(spark):
+    """Both join inputs are partial-aggregated count tables (never the raw
+    token stream), and top-k is TakeOrderedAndProject."""
+    from mapreduce_simple_go_spark.operators.textstats import bigram_lm
+
+    df = bigram_lm(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_partial_aggregation(df)
+
+
+def test_scd2_single_exchange_shared_sort(spark):
+    """lead() and row_number() share one (user_id, ts, event_id) sort:
+    exactly one Exchange, exactly one Sort."""
+    from mapreduce_simple_go_spark.operators.events import scd2_user_state
+
+    df = scd2_user_state(spark, SF_DIR)
+    assert count_operator(df, "Exchange") == 1
+    assert count_operator(df, "Sort") == 1
+
+
+def test_bloom_probe_is_broadcast_no_shingle_shuffle(spark):
+    """The set-bit table broadcasts (bounded by BLOOM_M, not the eval
+    corpus) and every membership probe is a broadcast HASH join — an O(1)
+    lookup per shingle. A one-row array + array_contains linear-scans all
+    m positions per probe (measured 20x slower at sf0.1) and would show as
+    BroadcastNestedLoopJoin here."""
+    from mapreduce_simple_go_spark.operators.dedup import bloom_decontaminate
+
+    plan = formatted_plan(bloom_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
