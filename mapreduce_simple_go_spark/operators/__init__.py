@@ -52,6 +52,9 @@ _WINDOW_PRIORITY = [
     "bigram_lm",
     "scd2_user_state",
     "bloom_decontaminate",
+    "word_triangles",
+    "stream_enriched_counts",
+    "join_key_skew",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

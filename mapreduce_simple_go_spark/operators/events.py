@@ -692,3 +692,56 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 QUERIES["scd2_user_state"] = scd2_user_state
 ORACLES["scd2_user_state"] = SCD2_SQL
+
+
+def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry running the REAL stream-static join topology.
+
+    events replayed through ``streaming.enriched_counts`` — per micro-batch
+    the stream hash-joins the static customer dimension (broadcast at
+    scale; zero join state) before the watermarked rollup per
+    (mktsegment, event_type). Fifth streaming family under the driver's
+    hash gate: stateful fold, session windows, watermarked window agg,
+    watermark-bounded dedup, and now stream-static enrichment. The oracle
+    is the equivalent batch join+group — streaming output must converge to
+    it exactly.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import enriched_counts, run_available_now, stream_events
+
+    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="ev_enrich_q_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        name = "eve_" + uuid.uuid4().hex[:8]
+        stream = stream_events(spark, src)
+        run_available_now(enriched_counts(stream, dim), name, "complete")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.sql(
+        f"SELECT c_mktsegment, event_type, n_events, total_value FROM {name}"
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+STREAM_ENRICHED_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+QUERIES["stream_enriched_counts"] = stream_enriched_counts
+ORACLES["stream_enriched_counts"] = STREAM_ENRICHED_SQL

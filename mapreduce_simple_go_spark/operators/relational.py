@@ -1780,3 +1780,64 @@ GROUP BY bracket
 
 QUERIES["range_join_brackets"] = range_join_brackets
 ORACLES["range_join_brackets"] = RANGE_JOIN_SQL
+
+
+# Join-key skew profiler -------------------------------------------------------
+
+SKEW_TOP = 10
+
+
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew report for a join/aggregation key — the probe you run BEFORE
+    choosing a mitigation (salting, AQE skew-join, broadcast) for a 100 TB
+    shuffle: the top keys by row count, each with its share of the table
+    and the global max/avg skew ratio.
+
+    Scale shape: one partial-aggregated shuffle builds the per-key counts;
+    the global stats collapse to ONE row that rides a broadcast cross
+    join onto the top-k (TakeOrderedAndProject, never a global sort).
+    Companion to salted_segment_revenue, which demonstrates the fix this
+    report motivates.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cnt = orders.groupBy("o_custkey").agg(F.count("*").alias("n_rows"))
+    stats = cnt.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_rows"),
+        F.avg("n_rows").alias("avg_rows"),
+    )
+    top = cnt.orderBy(F.desc("n_rows"), F.asc("o_custkey")).limit(SKEW_TOP)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("total_rows").cast("double"), 9).alias(
+            "share"
+        ),
+        "total_rows",
+        F.round(F.col("max_rows") / F.col("avg_rows"), 9).alias("skew_ratio"),
+    )
+
+
+JOIN_KEY_SKEW_SQL = f"""
+WITH cnt AS (
+  SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         MAX(n_rows) AS max_rows,
+         AVG(n_rows) AS avg_rows
+  FROM cnt
+),
+top AS (
+  SELECT o_custkey, n_rows FROM cnt
+  ORDER BY n_rows DESC, o_custkey ASC LIMIT {SKEW_TOP}
+)
+SELECT t.o_custkey, t.n_rows,
+       round(t.n_rows / CAST(s.total_rows AS DOUBLE), 9) AS share,
+       s.total_rows,
+       round(s.max_rows / s.avg_rows, 9) AS skew_ratio
+FROM top t CROSS JOIN stats s
+"""
+
+QUERIES["join_key_skew"] = join_key_skew
+ORACLES["join_key_skew"] = JOIN_KEY_SKEW_SQL

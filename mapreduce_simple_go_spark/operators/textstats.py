@@ -1139,3 +1139,108 @@ LIMIT {BIGRAM_LM_TOP}
 
 QUERIES["bigram_lm"] = bigram_lm
 ORACLES["bigram_lm"] = BIGRAM_LM_SQL
+
+
+# Triangle counting over the co-occurrence graph -------------------------------
+
+TRIANGLE_TOP = 20
+
+
+def word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word triangle participation in the undirected bigram graph —
+    the standard graph-cohesion primitive (clustering-coefficient
+    numerator), counted with the degree-oriented wedge join.
+
+    Each undirected edge is oriented from its (degree, name)-smaller
+    endpoint to the larger one; every triangle then has EXACTLY one wedge
+    u->v->w with (u,v),(v,w),(u,w) all oriented, so one wedge equi-join
+    plus one edge-membership equi-join counts each triangle once. Degree
+    orientation is what makes this survive scale-up: a hub of degree d
+    contributes wedges only through its few HIGHER-degree neighbors, so
+    wedge fan-out is bounded by arboricity (O(E^1.5) worst case) instead
+    of the O(d^2) a naive neighbor-pair expansion pays per hub. No cross
+    joins, no collects; the triangle set explodes to its 3 corners for
+    the per-word rollup; top-k via TakeOrderedAndProject.
+    """
+    edges = _bigram_edges(spark, sf_dir)
+    und = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("d"),
+    )
+    e1 = oriented.select(F.col("s").alias("x"), F.col("d").alias("y"))
+    e2 = oriented.select(F.col("s").alias("y"), F.col("d").alias("z"))
+    e3 = oriented.select(F.col("s").alias("x"), F.col("d").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return corners.orderBy(
+        F.desc("n_triangles"), F.asc("word")
+    ).limit(TRIANGLE_TOP)
+
+
+WORD_TRIANGLES_SQL = rf"""
+WITH tl AS (SELECT {{toks}} AS t FROM documents),
+bigr AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> {{{{'a': t[i], 'b': t[i + 1]}}}}),
+                recursive := true)
+  FROM tl WHERE len(t) >= 2
+),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM bigr WHERE a <> b
+),
+deg AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und
+  ) GROUP BY n
+),
+oriented AS (
+  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS d
+  FROM und e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+),
+tri AS (
+  SELECT e1.s AS x, e1.d AS y, e2.d AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e1.d = e2.s
+  JOIN oriented e3 ON e3.s = e1.s AND e3.d = e2.d
+),
+corners AS (
+  SELECT word, COUNT(*) AS n_triangles FROM (
+    SELECT x AS word FROM tri
+    UNION ALL SELECT y AS word FROM tri
+    UNION ALL SELECT z AS word FROM tri
+  ) GROUP BY word
+)
+SELECT word, n_triangles FROM corners
+ORDER BY n_triangles DESC, word ASC
+LIMIT {TRIANGLE_TOP}
+""".format(toks=_PR_TOKS)
+
+QUERIES["word_triangles"] = word_triangles
+ORACLES["word_triangles"] = WORD_TRIANGLES_SQL

@@ -476,3 +476,24 @@ def run_foreachbatch_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def enriched_counts(events: DataFrame, dim: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-static join + watermarked aggregation: each micro-batch of the
+    event stream hash-joins the STATIC dimension (no state, no watermark
+    needed on the static side — Spark re-plans it per batch), then rolls up
+    per (segment, event_type).
+
+    The canonical enrichment topology: at scale the dimension broadcasts
+    into every micro-batch's join, so the stream side never shuffles for
+    the join — only the final aggregation keeps (tiny, per-group) state.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, events["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )

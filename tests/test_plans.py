@@ -409,3 +409,28 @@ def test_bloom_probe_is_broadcast_no_shingle_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_word_triangles_no_cartesian_partial_agg(spark):
+    """Degree-oriented wedge join: every join is an equi-join (no
+    cartesian/NLJ), and the corner rollup partial-aggregates."""
+    from mapreduce_simple_go_spark.operators.textstats import word_triangles
+
+    df = word_triangles(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert has_partial_aggregation(df)
+
+
+def test_join_key_skew_broadcast_stats_take_ordered(spark):
+    """The one-row stats side broadcasts onto the top-k; the per-key count
+    is the only real shuffle; top-k is TakeOrderedAndProject."""
+    from mapreduce_simple_go_spark.operators.relational import join_key_skew
+
+    df = join_key_skew(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert has_partial_aggregation(df)
