@@ -1077,21 +1077,24 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos").alias(f"p{j}"), F.lit(True).alias(f"b{j}")
         )
         probed = probed.join(F.broadcast(marker), f"p{j}", "left")
+    # the exact-membership probe rides the SAME single pass over the
+    # training shingles (a broadcast left join instead of a second
+    # left-semi branch — shingling is the dominant cost and is paid once)
+    probed = probed.join(
+        F.broadcast(ev_sh.select("shingle", F.lit(True).alias("ex"))),
+        "shingle",
+        "left",
+    )
     hit = F.expr(" AND ".join(f"(b{j} IS NOT NULL)" for j in range(BLOOM_K)))
     per_doc = probed.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
         F.sum(hit.cast("long")).alias("n_bloom_hits"),
-    )
-    exact = (
-        tr_sh.join(F.broadcast(ev_sh), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_exact"))
+        F.sum(F.col("ex").isNotNull().cast("long")).alias("n_exact"),
     )
     return (
         docs.filter(~is_eval)
         .select("doc_id")
         .join(per_doc, "doc_id", "left")
-        .join(exact, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),

@@ -20,6 +20,26 @@ from ..sources import load_events
 SESSION_GAP_MIN = 30
 
 
+def _stage_events(sf_dir: str, dst_dir: str) -> None:
+    """Stage the events table into a stream-source dir.
+
+    The fixture's events.parquet is a single file at driver SFs but a
+    Spark-written DIRECTORY for the scaled local fixtures; the file-stream
+    source does not recurse, so directory part-files are copied flat.
+    """
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        for i, f in enumerate(parts):
+            shutil.copy(
+                os.path.join(src, f), os.path.join(dst_dir, f"events{i}.parquet")
+            )
+    else:
+        shutil.copy(src, os.path.join(dst_dir, "events.parquet"))
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type: count + exact value sum.
 
@@ -565,10 +585,7 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = os.path.join(root, "src")
         os.makedirs(src)
-        shutil.copy(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(src, "events.parquet"),
-        )
+        _stage_events(sf_dir, src)
         name = "evh_" + uuid.uuid4().hex[:8]
         stream = stream_events(spark, src)
         run_available_now(hourly_counts(stream), name, "complete")
@@ -719,10 +736,7 @@ def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = os.path.join(root, "src")
         os.makedirs(src)
-        shutil.copy(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(src, "events.parquet"),
-        )
+        _stage_events(sf_dir, src)
         name = "eve_" + uuid.uuid4().hex[:8]
         stream = stream_events(spark, src)
         run_available_now(enriched_counts(stream, dim), name, "complete")

@@ -41,3 +41,37 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert parts > 1, "salting failed to spread the hot key"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """SCALE.md's global posture claims AQE skew-join splitting as the
+    built-in mitigation; pin that it actually ENGAGES: with thresholds
+    scaled to fixture size and broadcast disabled (to force a shuffle
+    join), the executed plan must mark the hot partition skewed and the
+    join output must still be exact."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left, right = _skewed_pair(spark)
+        # fatten the hot rows so the skewed partition crosses the byte bar
+        left = left.select("k", F.concat_ws("", *[F.lpad("payload", 20, "x")] * 10).alias("payload"))
+        joined = left.join(right, "k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skewed=" in plan or "isSkew" in plan or "skew=true" in plan, plan[:2000]
+        assert joined.count() == 20000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
