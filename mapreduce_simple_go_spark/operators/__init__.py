@@ -55,6 +55,7 @@ _WINDOW_PRIORITY = [
     "word_triangles",
     "stream_enriched_counts",
     "join_key_skew",
+    "dedup_keep_best",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

@@ -1177,3 +1177,65 @@ LEFT JOIN exact e ON d.doc_id = e.doc_id
 
 QUERIES["bloom_decontaminate"] = bloom_decontaminate
 ORACLES["bloom_decontaminate"] = BLOOM_DECON_SQL
+
+
+# 10. Canonical selection: keep the BEST doc per near-dup cluster --------------
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy for near-dup clusters: keep the highest-QUALITY
+    member, not the smallest id.
+
+    dedup_clusters collapses A~B~C into one group with the conventional
+    min-id rule; production pipelines instead keep the best copy (highest
+    model quality score, e.g. the non-truncated / least-boilerplate
+    variant) and drop the rest. One row per document: its cluster, its
+    score, and the keep verdict (argmax by (model_score DESC, doc_id ASC)
+    — deterministic tie-break).
+
+    Scale shape: clusters and scores join on doc_id (both already keyed on
+    it); the argmax is a per-cluster window whose partitions are near-dup
+    cluster sizes (small by nature — the giant-cluster risk belongs to the
+    upstream LSH step, see SCALE.md on band occupancy). No collects.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import quality_model_score
+
+    clusters = dedup_clusters(spark, sf_dir)
+    scores = quality_model_score(spark, sf_dir).select("doc_id", "model_score")
+    grp = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("grp", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+        .join(scores, "doc_id")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("model_score"), F.asc("doc_id"))
+    return grp.select(
+        "doc_id",
+        F.col("grp").alias("cluster_id"),
+        "model_score",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def _keep_best_sql() -> str:
+    from .textstats import QUALITY_MODEL_SQL
+
+    return f"""
+WITH RECURSIVE {CLUSTERS_CTES},
+clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+scored AS ({QUALITY_MODEL_SQL})
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       s.model_score,
+       (ROW_NUMBER() OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+                           ORDER BY s.model_score DESC, d.doc_id ASC) = 1) AS keep
+FROM documents d
+LEFT JOIN clusters c ON c.doc_id = d.doc_id
+JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+QUERIES["dedup_keep_best"] = dedup_keep_best
+ORACLES["dedup_keep_best"] = _keep_best_sql()
