@@ -37,14 +37,21 @@ os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-TAG = "abcdefghij"  # replica r tag = TAG[r] * 2 ("aa", "bb", ...)
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _tag(r: int) -> str:
+    """Two-letter replica tag ("aa", "ab", ...) — pure letters, so the
+    `[^\\p{L}]+` tokenizer still sees normal words; supports up to 26^2
+    replicas."""
+    return _LETTERS[r // 26] + _LETTERS[r % 26]
 
 
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, ".localdata", "sf1")
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    assert factor <= len(TAG)
+    assert factor <= len(_LETTERS) ** 2
 
     from pyspark.sql import functions as F
 
@@ -60,7 +67,7 @@ def main() -> int:
         text = (
             F.col("text")
             if r == 0
-            else F.regexp_replace("text", r"(\p{L}+)", TAG[r] * 2 + "$1")
+            else F.regexp_replace("text", r"(\p{L}+)", _tag(r) + "$1")
         )
         doc_parts.append(
             docs.select(
