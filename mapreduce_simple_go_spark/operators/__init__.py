@@ -56,6 +56,7 @@ _WINDOW_PRIORITY = [
     "stream_enriched_counts",
     "join_key_skew",
     "dedup_keep_best",
+    "props_variant_histogram",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

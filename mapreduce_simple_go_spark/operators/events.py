@@ -759,3 +759,38 @@ GROUP BY c.c_mktsegment, e.event_type
 
 QUERIES["stream_enriched_counts"] = stream_enriched_counts
 ORACLES["stream_enriched_counts"] = STREAM_ENRICHED_SQL
+
+
+def props_variant_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured extraction (Spark 4): parse the props
+    JSON once into a VARIANT column, pull a typed field with variant_get,
+    and histogram it per event_type.
+
+    The modern counterpart to events_props_json's per-path
+    get_json_object: VARIANT parses each document ONCE into a binary
+    semi-structured encoding that any number of typed extractions then
+    read without re-parsing — at 100 TB the difference between one parse
+    and one parse per path, and the representation columnar shredding
+    optimizes. Aggregation shape: decile-bucketed counts, one
+    partial-aggregated shuffle on (event_type, bucket).
+    """
+    ev = load_events(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", F.floor(k / 10).alias("k_decile"))
+        .groupBy("event_type", "k_decile")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+PROPS_VARIANT_HIST_SQL = """
+SELECT event_type,
+       CAST(FLOOR(CAST(props->>'k' AS BIGINT) / 10) AS BIGINT) AS k_decile,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type, k_decile
+"""
+
+QUERIES["props_variant_histogram"] = props_variant_histogram
+ORACLES["props_variant_histogram"] = PROPS_VARIANT_HIST_SQL

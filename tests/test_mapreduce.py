@@ -93,3 +93,42 @@ def test_engine_sql_surface(engine):
 def test_engine_sql_events_ts_normalized(engine):
     df = engine.sql("SELECT min(ts) AS mn FROM events", SF_DIR)
     assert str(df.schema["mn"].dataType) == "TimestampType()"
+
+
+def test_native_udtf_matches_flatmap_tokenizer(spark):
+    """Spark 4's native Python UDTF is the reference's Map contract
+    (one row in, many out — mrworker.go:34-51) as a first-class SQL
+    function: a tokenizing UDTF must produce exactly the flatMap twin's
+    rows. Surface-parity demo only — the DataFrame tokenizer is the
+    scale path (Arrow-free UDTFs run row-at-a-time Python)."""
+    import re
+
+    from pyspark.sql.functions import lit, udtf
+
+    from .conftest import SF_DIR
+
+    @udtf(returnType="word: string")
+    class Tokenize:
+        def eval(self, text: str):
+            # [^\W\d_] is Python-re for "unicode letter" (re has no \p{L});
+            # agrees with the engine's [^\p{L}]+ split on the fixture vocab
+            for w in re.findall(r"[^\W\d_]+", text or "", re.UNICODE):
+                yield (w,)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    got = spark.sql(
+        "SELECT t.word FROM udtf_docs, LATERAL tokenize_udtf(text) t"
+    ).groupBy("word").count()
+
+    from mapreduce_simple_go_spark.functions import tokens as tok_expr
+    from pyspark.sql import functions as F
+
+    want = (
+        docs.select(F.explode(tok_expr(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .count()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    spark.catalog.dropTempView("udtf_docs")
