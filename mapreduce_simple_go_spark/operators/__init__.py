@@ -57,6 +57,8 @@ _WINDOW_PRIORITY = [
     "join_key_skew",
     "dedup_keep_best",
     "props_variant_histogram",
+    "events_hourly_gapfill",
+    "events_metrics_unpivot",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

@@ -794,3 +794,103 @@ GROUP BY event_type, k_decile
 
 QUERIES["props_variant_histogram"] = props_variant_histogram
 ORACLES["props_variant_histogram"] = PROPS_VARIANT_HIST_SQL
+
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type: missing hours appear with zero
+    counts — the "date spine" gap-fill every downstream time-series
+    consumer (forecasting, anomaly detection) requires.
+
+    Spine construction is sequence() over each type's [min_hour, max_hour]
+    span — generated map-side from ONE aggregated row per type, so the
+    spine costs O(types x hours) rows and no extra shuffle of the fact
+    table; the observed aggregate left-joins onto it. At 100 TB the spine
+    is dwarfed by the facts (hours-per-year x types), and the join key
+    (hour, type) is the aggregation key — co-partitioned for free.
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("gap_filled"),
+        )
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi FROM hourly GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+  FROM span
+)
+SELECT s.event_type, s.hour,
+       COALESCE(h.n_events, 0) AS n_events,
+       h.n_events IS NULL AS gap_filled
+FROM spine s LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
+"""
+
+QUERIES["events_hourly_gapfill"] = events_hourly_gapfill
+ORACLES["events_hourly_gapfill"] = EVENTS_GAPFILL_SQL
+
+
+def events_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) coverage — the inverse of user_event_pivot: a wide
+    per-type aggregate (count / exact sum / 9-dp mean) melts into long
+    (event_type, metric, value) rows via stack(), the map-side row
+    generator that needs no shuffle beyond the aggregation that fed it.
+    """
+    ev = load_events(spark, sf_dir)
+    wide = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_events"),
+        F.sum(money(F.col("value"))).cast("double").alias("total_value"),
+        F.round(F.avg("value"), 9).alias("mean_value"),
+    )
+    return wide.select(
+        "event_type",
+        F.expr(
+            "stack(3, 'n_events', n_events, 'total_value', total_value,"
+            " 'mean_value', mean_value) as (metric, value)"
+        ),
+    )
+
+
+EVENTS_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         round(AVG(value), 9) AS mean_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type, metric, value FROM (
+  SELECT event_type, 'n_events' AS metric, n_events AS value FROM wide
+  UNION ALL
+  SELECT event_type, 'total_value', total_value FROM wide
+  UNION ALL
+  SELECT event_type, 'mean_value', mean_value FROM wide
+)
+"""
+
+QUERIES["events_metrics_unpivot"] = events_metrics_unpivot
+ORACLES["events_metrics_unpivot"] = EVENTS_UNPIVOT_SQL
