@@ -114,3 +114,98 @@ def test_tokenizer_matches_regex_oracle_on_random_text(texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == [w for w in regex.split(r"[^\p{L}]+", t) if w], repr(t)
+
+
+TRI_EDGES = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(TRI_EDGES)
+def test_triangle_corners_match_bruteforce_on_random_graphs(edges):
+    """Degree-oriented wedge counting == O(n^3) brute force on random
+    small graphs — the orientation argument (exactly one wedge per
+    triangle) checked exhaustively, not just on the fixture corpus."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    spark = _get_spark()
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+
+    # model: count triangles per node by brute force
+    nodes = sorted({n for e in und for n in e})
+    eset = set(und)
+    want = Counter()
+    for x, y, z in combinations(nodes, 3):
+        if ((x, y) in eset and (y, z) in eset and (x, z) in eset):
+            want[x] += 1
+            want[y] += 1
+            want[z] += 1
+
+    if not und:
+        return
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in und], "u string, v string"
+    )
+    deg = (
+        df.select(F.col("u").alias("n"))
+        .unionByName(df.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        df.join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("d"),
+    )
+    e1 = oriented.select(F.col("s").alias("x"), F.col("d").alias("y"))
+    e2 = oriented.select(F.col("s").alias("y"), F.col("d").alias("z"))
+    e3 = oriented.select(F.col("s").alias("x"), F.col("d").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    got = Counter()
+    for r in (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ):
+        got[int(r.w)] = r.c
+    assert got == +want
+
+
+BLOOM_DOCS = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(BLOOM_DOCS, BLOOM_DOCS)
+def test_bloom_membership_has_no_false_negatives(train, ev):
+    """The one-sided-error contract of the double-hashed Bloom positions,
+    checked on random token streams: every string actually present in the
+    eval set must probe positive (false positives allowed)."""
+    from mapreduce_simple_go_spark.operators.dedup import BLOOM_K, BLOOM_M
+
+    def positions(s):
+        import hashlib
+
+        h = hashlib.md5(s.encode()).hexdigest()
+        h1, h2 = int(h[:12], 16), int(h[12:24], 16)
+        return [(h1 + j * h2) % BLOOM_M for j in range(BLOOM_K)]
+
+    ev_set = {t for doc in ev for t in doc.split()}
+    bits = {p for s in ev_set for p in positions(s)}
+    for doc in train:
+        for t in doc.split():
+            if t in ev_set:
+                assert all(p in bits for p in positions(t))
