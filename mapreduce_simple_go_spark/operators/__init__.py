@@ -59,6 +59,7 @@ _WINDOW_PRIORITY = [
     "props_variant_histogram",
     "events_hourly_gapfill",
     "events_metrics_unpivot",
+    "lsh_band_occupancy",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

@@ -1239,3 +1239,60 @@ JOIN scored s ON s.doc_id = d.doc_id
 
 QUERIES["dedup_keep_best"] = dedup_keep_best
 ORACLES["dedup_keep_best"] = _keep_best_sql()
+
+
+# 11. LSH band-occupancy diagnostic --------------------------------------------
+
+def lsh_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy report for the MinHash-LSH band index — the skew
+    probe for the dedup pipeline itself (join_key_skew's counterpart for
+    near-dup candidate generation).
+
+    Per band: bucket count, the largest bucket, and the exact candidate
+    fan-out the band contributes (sum over buckets of C(k,2)). SCALE.md
+    names degenerate-band occupancy as THE 100 TB hazard of banded LSH;
+    this query is how you see it coming before paying the join — the
+    fan-out column is exactly the pair count the band self-join will emit.
+    One aggregation on (band, sig) — the same key the candidate join
+    shuffles on — then a 4-row rollup.
+    """
+    bands = _lsh_bands(minhash_wide(_docs(spark, sf_dir)))
+    buckets = bands.groupBy("band", "sig").agg(F.count("*").alias("k"))
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("k").alias("max_bucket"),
+            F.sum(F.expr("k * (k - 1) div 2")).alias("est_candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+LSH_BAND_OCCUPANCY_SQL = f"""
+WITH sh AS ({DUCK_DOC_SHINGLES}),
+hashed AS (SELECT doc_id, {duckdb_hash48("shingle")} AS h FROM sh),
+mh AS (
+  SELECT doc_id, perm, MIN((a * h + b) & {(1 << 48) - 1}) AS minhash
+  FROM hashed, (VALUES {_DUCK_COEFFS}) AS coeffs(perm, a, b)
+  GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // {NUM_PERM // LSH_BANDS} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS sig
+  FROM mh GROUP BY doc_id, band
+),
+buckets AS (
+  SELECT band, sig, COUNT(*) AS k FROM bands GROUP BY band, sig
+)
+SELECT band,
+       COUNT(*) AS n_buckets,
+       MAX(k) AS max_bucket,
+       CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS est_candidate_pairs
+FROM buckets
+GROUP BY band
+ORDER BY band
+"""
+
+QUERIES["lsh_band_occupancy"] = lsh_band_occupancy
+ORACLES["lsh_band_occupancy"] = LSH_BAND_OCCUPANCY_SQL
