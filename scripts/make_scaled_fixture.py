@@ -89,14 +89,15 @@ def main() -> int:
     e_shift = emb.agg(F.max("vec_id")).first()[0] + 1
     emb_parts = []
     for r in range(factor):
-        vec = (
-            F.col("embedding")
-            if r == 0
-            else F.expr(
-                f"concat(slice(embedding, {r + 1}, size(embedding) - {r}), "
-                f"slice(embedding, 1, {r}))"
-            )
+        # rotate by r mod dim (r can exceed the vector dim at high factors);
+        # rot == 0 replicas beyond the first still get fresh vec_ids, and
+        # intra-replica geometry stays exactly preserved either way
+        rot_expr = (
+            f"concat(slice(embedding, ({r} % size(embedding)) + 1, "
+            f"size(embedding) - ({r} % size(embedding))), "
+            f"slice(embedding, 1, {r} % size(embedding)))"
         )
+        vec = F.col("embedding") if r == 0 else F.expr(rot_expr)
         emb_parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(r * e_shift)).alias("vec_id"),
