@@ -60,6 +60,7 @@ _WINDOW_PRIORITY = [
     "events_hourly_gapfill",
     "events_metrics_unpivot",
     "lsh_band_occupancy",
+    "partitioned_prune_roundtrip",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

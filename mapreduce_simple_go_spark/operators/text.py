@@ -685,3 +685,48 @@ FROM documents
 
 QUERIES["schema_evolution_roundtrip"] = schema_evolution_roundtrip
 ORACLES["schema_evolution_roundtrip"] = SCHEMA_EVOLUTION_SQL
+
+
+def partitioned_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned read.
+
+    Writes documents partitioned by `lang` (the layout a 100 TB corpus
+    actually uses — partition columns become directories, so a reader
+    filtering on lang never opens the other partitions' files), then reads
+    back ONLY one partition via a filter that must prune at planning time
+    (PartitionFilters in the scan, pinned in test_plans). The returned
+    per-row projection is hash-compared against the oracle computing the
+    same filter on the original — any loss in the partitioned writer or
+    any partition mis-assignment breaks the hash; the lang column also
+    proves partition-column values survive the directory-encoding
+    roundtrip.
+    """
+    import shutil
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="part_rt_")
+    try:
+        path = os.path.join(root, "docs")
+        d.write.mode("overwrite").partitionBy("lang").parquet(path)
+        back = spark.read.parquet(path).filter(F.col("lang") == "en")
+        return (
+            back.select(
+                "doc_id",
+                "lang",
+                "source",
+                F.length("text").cast("long").alias("n_text_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+PARTITIONED_PRUNE_SQL = """
+SELECT doc_id, lang, source, CAST(len(text) AS BIGINT) AS n_text_chars
+FROM documents WHERE lang = 'en'
+"""
+
+QUERIES["partitioned_prune_roundtrip"] = partitioned_prune_roundtrip
+ORACLES["partitioned_prune_roundtrip"] = PARTITIONED_PRUNE_SQL
