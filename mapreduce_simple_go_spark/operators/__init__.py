@@ -61,6 +61,7 @@ _WINDOW_PRIORITY = [
     "events_metrics_unpivot",
     "lsh_band_occupancy",
     "partitioned_prune_roundtrip",
+    "global_rank_orders",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

@@ -1841,3 +1841,54 @@ FROM top t CROSS JOIN stats s
 
 QUERIES["join_key_skew"] = join_key_skew
 ORACLES["join_key_skew"] = JOIN_KEY_SKEW_SQL
+
+
+# Scale-safe global ranking ----------------------------------------------------
+
+RANK_BUCKET_WIDTH = 50_000  # price units per range bucket
+
+
+def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense ordering of orders by (o_totalprice, o_orderkey) WITHOUT
+    a single-partition window — the two-level formulation that survives
+    100 TB, where `ROW_NUMBER() OVER (ORDER BY ...)` (no PARTITION BY)
+    funnels the whole table through one task.
+
+    Level 1: rows bucket by a deterministic range of the sort key
+    (floor(price / width)); per-bucket counts prefix-sum into bucket
+    offsets — a window over n_buckets ROWS, not n_rows. Level 2: local
+    row_number within each bucket (thousands of small parallel windows)
+    plus the bucket's offset = the exact global rank. Same two-level
+    prefix-sum shape as sampling.pack_sequences; the oracle computes the
+    naive global window and must agree rank-for-rank.
+    """
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.floor(F.col("o_totalprice") / RANK_BUCKET_WIDTH).alias("bkt"),
+    )
+    per_bkt = orders.groupBy("bkt").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bkt.select(
+        "bkt", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_local = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.join(F.broadcast(offsets), "bkt")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.row_number().over(w_local) + F.col("offset")).alias("global_rank"),
+        )
+    )
+
+
+GLOBAL_RANK_SQL = """
+SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS global_rank
+FROM orders
+"""
+
+QUERIES["global_rank_orders"] = global_rank_orders
+ORACLES["global_rank_orders"] = GLOBAL_RANK_SQL

@@ -434,3 +434,17 @@ def test_join_key_skew_broadcast_stats_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert has_partial_aggregation(df)
+
+
+def test_global_rank_single_partition_only_for_bucket_offsets(spark):
+    """The two-level global rank must funnel ONLY the per-bucket count
+    table (n_buckets rows) through a single partition — never the orders
+    table itself. Exactly one SinglePartition exchange, two windows (the
+    tiny offset prefix-sum + the bucket-partitioned local rank)."""
+    from mapreduce_simple_go_spark.operators.relational import global_rank_orders
+
+    df = global_rank_orders(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("SinglePartition") == 1
+    assert count_operator(df, "Window") == 2
+    assert has_partial_aggregation(df)  # the bucket counts combine map-side
