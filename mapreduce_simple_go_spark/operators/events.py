@@ -894,3 +894,76 @@ SELECT event_type, metric, value FROM (
 
 QUERIES["events_metrics_unpivot"] = events_metrics_unpivot
 ORACLES["events_metrics_unpivot"] = EVENTS_UNPIVOT_SQL
+
+
+def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry running transformWithStateInPandas (Spark 4's
+    StatefulProcessor) across a REAL multi-micro-batch drain.
+
+    The event log is staged as three files drained one per trigger
+    (maxFilesPerTrigger=1), so the ValueState provably accumulates across
+    batches; each key's final row is its max-version emission (versions
+    count the batches that touched the key — the kv.py versioned-fold
+    discipline). All-integer totals make the fold exact, so the oracle is
+    the plain batch GROUP BY; version itself is NOT emitted downstream
+    because the file split (3) is a staging choice, not a semantic one.
+    First operator on the post-applyInPandasWithState API; gated on the
+    google.protobuf dependency its driver worker imports (see note at the
+    bottom of this file).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import run_available_now, user_totals_tws
+
+    ev = load_events(spark, sf_dir).select("ts", "user_id", "event_id")
+    root = tempfile.mkdtemp(prefix="ev_tws_q_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i in range(3):
+            stage = os.path.join(root, f"stage{i}")
+            part = ev.filter(F.col("event_id") % 3 == i)
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            shutil.copy(
+                os.path.join(stage, pfile), os.path.join(src, f"drop{i}.parquet")
+            )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        name = "tws_" + uuid.uuid4().hex[:8]
+        run_available_now(user_totals_tws(stream), name, "append")
+        out = spark.sql(
+            f"""
+            SELECT user_id, n_events, sum_event_ids FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY version DESC
+              ) AS rn FROM {name}
+            ) WHERE rn = 1
+            """
+        ).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_TWS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_ids
+FROM events
+GROUP BY user_id
+"""
+
+# NOT registered in QUERIES/ORACLES: Spark 4's transformWithState driver
+# worker requires the google.protobuf Python package, absent from this
+# container (ImportError at StreamingPythonRunner init). The operator and
+# its convergence test are gated on that import instead — the same
+# dependency-seam discipline as the multimodal codec stub; registering it
+# would make the driver's gate red for an environment reason, not a
+# correctness one. See tests/test_streaming.py::test_tws_totals_converge.

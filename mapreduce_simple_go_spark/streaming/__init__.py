@@ -497,3 +497,62 @@ def enriched_counts(events: DataFrame, dim: DataFrame, watermark: str = "2 hours
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """Running per-user totals via transformWithStateInPandas — Spark 4's
+    StatefulProcessor API (the successor to applyInPandasWithState: named
+    state variables on a handle, timers, TTL).
+
+    State is one ValueState row (n_events, sum_event_ids, version) per
+    user; every micro-batch folds its rows in and emits the NEW running
+    totals stamped with a per-key version (count of batches that touched
+    the key). All-integer arithmetic, so the fold is exact and the final
+    version per key is deterministic for ANY micro-batch split — the same
+    versioned-emission discipline kv.py's fold uses. Consumers (and the
+    registry entry) take each key's max-version row as the final state.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events LONG, sum_event_ids LONG, version LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                n, sid, ver = self._state.get()
+            else:
+                n, sid, ver = 0, 0, 0
+            for pdf in rows:
+                n += int(len(pdf))
+                sid += int(pdf["event_id"].sum())
+            ver += 1
+            self._state.update((n, sid, ver))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_event_ids": [sid],
+                    "version": [ver],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Totals(),
+            outputStructType=(
+                "user_id LONG, n_events LONG, sum_event_ids LONG, version LONG"
+            ),
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

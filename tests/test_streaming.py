@@ -529,3 +529,41 @@ def test_kv_stream_final_state_multifile_drain_same_hash(spark):
     assert one == three
     # and both equal the batch fold (the shared DuckDB oracle's semantics)
     assert one == sorted_rows(kv_final_state(spark, SF_DIR))
+
+
+def _has_tws_deps() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_tws_deps(),
+    reason="transformWithState driver worker needs google.protobuf",
+)
+def test_tws_totals_converge_to_batch(spark):
+    """Spark 4 StatefulProcessor (transformWithStateInPandas): the
+    versioned per-user fold across a 3-file drain must equal the batch
+    GROUP BY exactly (all-integer state)."""
+    from mapreduce_simple_go_spark.operators.events import stream_user_totals_tws
+    from mapreduce_simple_go_spark.sources import load_events
+
+    from .conftest import SF_DIR
+
+    got = {
+        (r.user_id): (r.n_events, r.sum_event_ids)
+        for r in stream_user_totals_tws(spark, SF_DIR).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in load_events(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    }
+    assert got == want
