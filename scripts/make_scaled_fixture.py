@@ -137,7 +137,38 @@ def main() -> int:
     )
     print(f"events: {scaled_ev.count()} rows", flush=True)
 
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    # orders + lineitem scale by orderkey-shifted replicas: custkey / part /
+    # supplier FKs are left untouched (those dims stay unscaled, exactly how
+    # a real deployment's facts outgrow its dimensions), so every join still
+    # resolves and per-replica value/date density is unchanged.
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    o_shift = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    o_parts = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * o_shift))
+        for r in range(factor)
+    ]
+    scaled_o = o_parts[0]
+    for p in o_parts[1:]:
+        scaled_o = scaled_o.unionByName(p)
+    scaled_o.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    print(f"orders: {scaled_o.count()} rows", flush=True)
+
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    li_parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * o_shift))
+        for r in range(factor)
+    ]
+    scaled_li = li_parts[0]
+    for p in li_parts[1:]:
+        scaled_li = scaled_li.unionByName(p)
+    scaled_li.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    print(f"lineitem: {scaled_li.count()} rows", flush=True)
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
         sp = os.path.join(src, f"{t}.parquet")
         dp = os.path.join(out, f"{t}.parquet")
         if os.path.isfile(sp):
