@@ -62,6 +62,8 @@ _WINDOW_PRIORITY = [
     "lsh_band_occupancy",
     "partitioned_prune_roundtrip",
     "global_rank_orders",
+    "stream_sliding_counts",
+    "weighted_sample_docs",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

@@ -967,3 +967,38 @@ GROUP BY user_id
 # dependency-seam discipline as the multimodal codec stub; registering it
 # would make the driver's gate red for an environment reason, not a
 # correctness one. See tests/test_streaming.py::test_tws_totals_converge.
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry draining the REAL watermarked SLIDING-window
+    aggregation (1 h window / 30 min slide) — each event expands into two
+    windows map-side, exactly like the batch twin events_sliding, whose
+    oracle this row shares. Completes the streaming window-family trio
+    under the hash gate: tumbling (stream_hourly_counts), session
+    (stream_sessions_gap_closed), sliding (this row).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import run_available_now, sliding_counts, stream_events
+
+    root = tempfile.mkdtemp(prefix="ev_slide_q_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        _stage_events(sf_dir, src)
+        name = "evs_" + uuid.uuid4().hex[:8]
+        stream = stream_events(spark, src)
+        run_available_now(sliding_counts(stream), name, "complete")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = spark.sql(
+        f"SELECT window_start, event_type, n_events, total_value FROM {name}"
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+QUERIES["stream_sliding_counts"] = stream_sliding_counts
+ORACLES["stream_sliding_counts"] = EVENTS_SLIDING_SQL

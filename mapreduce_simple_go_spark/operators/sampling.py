@@ -532,3 +532,57 @@ FROM batched
 
 QUERIES["length_bucket_batches"] = length_bucket_batches
 ORACLES["length_bucket_batches"] = LENGTH_BUCKET_SQL
+
+
+# Weighted sampling without replacement ---------------------------------------
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted reservoir sampling (A-Res), the
+    distributed-native formulation: each item gets key u^(1/w) for uniform
+    u, and the global sample-without-replacement is simply the top-k by
+    key — which Spark computes as TakeOrderedAndProject, no reservoir
+    state, no sequential pass, trivially mergeable across partitions.
+
+    u is derived deterministically from hash48(doc_id)/2^48 (both engines
+    recompute it), weight = n_chars, and the comparison key is
+    log(u)/w — monotone in u^(1/w) but numerically stable for large
+    weights (u^(1/3000) collapses toward 1.0 in doubles; log keeps
+    resolution). Long documents are proportionally more likely to be
+    drawn; the fixed key makes the draw reproducible run-to-run — the
+    property a training-data sampling pipeline needs for auditability.
+    """
+    d = _docs(spark, sf_dir)
+    u = (hash48(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))) + 1) / float((1 << 48) + 1)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.round(key, 15).alias("draw_key"),
+        )
+        # max key wins (log u < 0; dividing by a bigger weight moves it
+        # toward 0): descending top-k
+        .orderBy(F.desc("draw_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+_WS_U = (
+    "(CAST(list_sum(list_transform(range(1,13), i -> "
+    "(strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1) "
+    "* power(16::DOUBLE, 12 - i))) AS BIGINT) + 1) / " + str(float((1 << 48) + 1))
+)
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       round(ln({_WS_U}) / CAST(n_chars AS DOUBLE), 15) AS draw_key
+FROM documents
+ORDER BY draw_key DESC, doc_id ASC
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+QUERIES["weighted_sample_docs"] = weighted_sample_docs
+ORACLES["weighted_sample_docs"] = WEIGHTED_SAMPLE_SQL

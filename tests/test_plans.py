@@ -448,3 +448,15 @@ def test_global_rank_single_partition_only_for_bucket_offsets(spark):
     assert plan.count("SinglePartition") == 1
     assert count_operator(df, "Window") == 2
     assert has_partial_aggregation(df)  # the bucket counts combine map-side
+
+
+def test_weighted_sample_is_take_ordered_no_global_sort(spark):
+    """A-Res weighted sampling = top-k by the hash-derived key: must plan
+    as TakeOrderedAndProject (mergeable per-partition heaps), never a
+    global sort, and never a single-partition window."""
+    from mapreduce_simple_go_spark.operators.sampling import weighted_sample_docs
+
+    df = weighted_sample_docs(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
