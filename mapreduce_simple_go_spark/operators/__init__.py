@@ -64,6 +64,7 @@ _WINDOW_PRIORITY = [
     "global_rank_orders",
     "stream_sliding_counts",
     "weighted_sample_docs",
+    "lm_perplexity_filter",
     # code changed in round 5 (multi-file drain param; uuid view hygiene)
     "kv_stream_final_state",
     "events_rollup_multigrain",

@@ -1244,3 +1244,123 @@ LIMIT {TRIANGLE_TOP}
 
 QUERIES["word_triangles"] = word_triangles
 ORACLES["word_triangles"] = WORD_TRIANGLES_SQL
+
+
+# CCNet-style LM perplexity filter ---------------------------------------------
+
+LM_NLL_KEEP = 9.0  # keep docs whose avg negative log-likelihood is below this
+
+
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filtering, the CCNet recipe: train a bigram
+    LM on a reference slice (doc_id % 2 == 0), score every other document
+    by average negative log-likelihood under it, keep the fluent ones.
+
+    Add-one smoothing over the reference vocabulary so unseen bigrams get
+    finite mass: p(w2|w1) = (c(w1,w2) + 1) / (c(w1.) + V). All counts are
+    exact integers; ln and the 9-dp rounding follow the BM25 precedent for
+    cross-engine float stability.
+
+    Scale shape: the LM is two partial-aggregated count tables; scoring is
+    an equi-join of the documents' bigram stream against them (count-sided
+    — the stream joins counts, counts never join the stream twice), then a
+    per-doc rollup riding doc_id. V and the reference corpus are
+    vocabulary-bounded, not corpus-bounded. Bigrams unseen even at the
+    context level use c(w1.) = 0 — the formula stays total.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    is_ref = F.col("doc_id") % 2 == 0
+
+    def bigrams(docs):
+        toks = docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        return toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        ).filter(F.col("w2").isNotNull())
+
+    ref_bi = bigrams(d.filter(is_ref))
+    pair_cnt = ref_bi.groupBy("w1", "w2").agg(F.count("*").alias("pc"))
+    ctx_cnt = pair_cnt.groupBy("w1").agg(F.sum("pc").alias("cc"))
+    # V as a broadcast one-row scalar, not a driver .count(): the plan stays
+    # a single DAG with zero driver actions before the final collect
+    vocab = ref_bi.agg(F.count_distinct("w2").alias("v"))
+
+    sc_bi = bigrams(d.filter(~is_ref))
+    scored = (
+        sc_bi.join(pair_cnt, ["w1", "w2"], "left")
+        .join(ctx_cnt, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce("pc", F.lit(0)) + 1)
+                    / (F.coalesce("cc", F.lit(0)) + F.col("v")).cast("double")
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll"), 9).alias("avg_nll"),
+    )
+    return (
+        d.filter(~is_ref)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_nll",
+            F.coalesce(F.col("avg_nll") <= LM_NLL_KEEP, F.lit(True)).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+LM_PERPLEXITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                             w -> w <> '') AS t
+  FROM documents
+),
+ref_bi AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE doc_id % 2 = 0 AND len(t) >= 2
+),
+pair_cnt AS (SELECT w1, w2, COUNT(*) AS pc FROM ref_bi GROUP BY w1, w2),
+ctx_cnt AS (SELECT w1, CAST(SUM(pc) AS BIGINT) AS cc FROM pair_cnt GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM ref_bi),
+sc_bi AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE doc_id % 2 <> 0 AND len(t) >= 2
+),
+scored AS (
+  SELECT s.doc_id,
+         -ln((COALESCE(p.pc, 0) + 1)
+             / CAST(COALESCE(c.cc, 0) + (SELECT v FROM vocab) AS DOUBLE)) AS nll
+  FROM sc_bi s
+  LEFT JOIN pair_cnt p ON s.w1 = p.w1 AND s.w2 = p.w2
+  LEFT JOIN ctx_cnt c ON s.w1 = c.w1
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, round(AVG(nll), 9) AS avg_nll
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       p.avg_nll,
+       COALESCE(p.avg_nll <= {LM_NLL_KEEP}, TRUE) AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 <> 0) d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+QUERIES["lm_perplexity_filter"] = lm_perplexity_filter
+ORACLES["lm_perplexity_filter"] = LM_PERPLEXITY_SQL
