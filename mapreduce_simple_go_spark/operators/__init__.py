@@ -41,6 +41,14 @@ def _modules():
 # out only once a green row exists for the code at HEAD.
 _WINDOW_PRIORITY = [
     # new in round 5 — no driver verdict yet
+    "session_window_native",
+    "stream_click_purchase_join",
+    "anomaly_zscore",
+    "ewma_user_value",
+    "line_dedup_rewrite",
+    "domain_mix_weights",
+    "data_profile_orders",
+    "pareto_orders",
     "dedup_clusters_distributed",
     "inverted_index_capped",
     "per_file_metrics_chunked",

@@ -1002,3 +1002,242 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["stream_sliding_counts"] = stream_sliding_counts
 ORACLES["stream_sliding_counts"] = EVENTS_SLIDING_SQL
+
+
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE session_window aggregation.
+
+    The built-in counterpart to `sessionization` (two window passes) and
+    `stream_sessions_gap_closed` (applyInPandasWithState): session_window
+    makes the session a first-class GROUP key, so sessionizing is one
+    groupBy — Spark merges overlapping [ts, ts+gap) intervals per user
+    inside the aggregation, with partial merges before the shuffle. At
+    100 TB this is the cheapest formulation: one shuffle on user_id and no
+    per-user sort-window pass at all.
+
+    Boundary semantics (pinned by tests/test_streaming.py): sessions MERGE
+    when they touch — an event exactly gap after its predecessor stays in
+    the same session, so the split rule is `gap > threshold`, identical to
+    the lag-based formulation. session_end is last-event-ts + gap (the
+    interval end), not last-event-ts.
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(money(F.col("value"))).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_WINDOW_NATIVE_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+QUERIES["session_window_native"] = session_window_native
+ORACLES["session_window_native"] = SESSION_WINDOW_NATIVE_SQL
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry running the REAL stream-stream interval join.
+
+    Both join inputs are unbounded (clicks and purchases split from the
+    staged event stream); the event-time range condition + dual watermarks
+    bound the join state (streaming.purchases_after_clicks — previously
+    pytest-covered only; this entry puts it under the driver's hash gate as
+    the sixth streaming family). Drained with availableNow in append mode,
+    the emitted pair set must equal the batch interval join —
+    purchase_within_hour_of_click's oracle, reused verbatim.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import purchases_after_clicks, run_available_now, stream_events
+
+    root = tempfile.mkdtemp(prefix="ev_ssj_q_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        _stage_events(sf_dir, src)
+        name = "ssj_" + uuid.uuid4().hex[:8]
+        # Same state-shuffle sizing as kv_stream_final_state: the join
+        # buffers state per user_id on BOTH sides, and 32 near-empty
+        # state-store partitions cost more in per-partition setup than the
+        # join itself. Restored after the drain.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_available_now(
+                purchases_after_clicks(stream_events(spark, src)), name, "append"
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = spark.sql(
+            f"SELECT user_id, click_id, purchase_id, gap_us FROM {name}"
+        ).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+QUERIES["stream_click_purchase_join"] = stream_click_purchase_join
+ORACLES["stream_click_purchase_join"] = PURCHASE_AFTER_CLICK_SQL
+
+
+# Z-score threshold for the anomaly probe: |z| > 2.5 flags ~1.2% of a
+# normal population — enough fixture rows to be a meaningful oracle.
+ANOMALY_Z = 2.5
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outliers per event_type.
+
+    The monitoring shape: per-group mean/std from ONE partial-aggregated
+    pass (exact DECIMAL sums of v and v², so the moments are
+    partition-order independent), broadcast back onto the stream of rows,
+    flag |z| > 2.5. The stats side is 5 rows — the join never shuffles the
+    fact table. Variance via E[x²]−E[x]² is exact here because both
+    moments are decimal-exact before the final double division.
+    """
+    ev = load_events(spark, sf_dir)
+    v6 = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v6).cast("double").alias("s1"),
+        F.sum(v6 * v6).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    stats = stats.select("event_type", mean.alias("mu"), F.sqrt(var).alias("sigma"))
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 9)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > ANOMALY_Z)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+ANOMALY_ZSCORE_SQL = f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+         sqrt(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                   AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)))
+           AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sigma, 9) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs(round((e.value - s.mu) / s.sigma, 9)) > {ANOMALY_Z}
+"""
+
+QUERIES["anomaly_zscore"] = anomaly_zscore
+ORACLES["anomaly_zscore"] = ANOMALY_ZSCORE_SQL
+
+
+# EWMA over the trailing window: alpha = 1/2 (weights are exact powers of
+# two, so the whole computation stays in exact int64 arithmetic), capped at
+# the last EWMA_K events per user.
+EWMA_K = 12
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of value per user (α=1/2),
+    over the trailing EWMA_K events.
+
+    Time-series smoothing as a pure window expression: collect the frame's
+    values (frame order = the window's (ts, event_id) sort, deterministic),
+    weight element j by 2^j via shiftleft — α=1/2 makes every weight a
+    power of two, so numerator and denominator are EXACT int64s on
+    micro-scaled values and the result is bit-identical across engines and
+    partitionings. One shuffle on user_id; frame capped at K, so per-row
+    work is O(K) regardless of history length — the recursive EWMA
+    definition (state fold) is deliberately traded for a bounded-window
+    one, which is what keeps it expressible as a reusable window expr at
+    100 TB instead of a stateful pass.
+    """
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_K - 1), 0)
+    )
+    v_scaled = F.round(F.col("value") * 1_000_000).cast("long")
+    vals = F.collect_list(v_scaled).over(w)
+    n = F.size(vals)
+    # Left fold with a (sum, weight) accumulator: element j gets weight 2^j
+    # by doubling the running weight each step — exact int64 throughout.
+    num = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(0).cast("long").alias("s"), F.lit(1).cast("long").alias("w")
+        ),
+        lambda acc, x: F.struct(
+            (acc.s + x * acc.w).alias("s"), (acc.w * 2).alias("w")
+        ),
+        lambda acc: acc.s,
+    )
+    den = F.pow(F.lit(2.0), n).cast("long") - 1
+    ewma = F.round(num.cast("double") / den.cast("double") / 1e6, 9)
+    return ev.select(
+        "user_id", "event_id", "value", ewma.alias("ewma")
+    )
+
+
+EWMA_SQL = f"""
+WITH frames AS (
+  SELECT user_id, event_id, value,
+         list(CAST(round(value * 1000000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {EWMA_K - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+)
+SELECT user_id, event_id, value,
+       round(
+         CAST(list_sum(list_transform(range(1, len(vals) + 1),
+                                      i -> vals[i] * (CAST(1 AS BIGINT) << (i - 1))))
+              AS DOUBLE)
+         / CAST((CAST(1 AS BIGINT) << len(vals)) - 1 AS DOUBLE) / 1e6,
+         9) AS ewma
+FROM frames
+"""
+
+QUERIES["ewma_user_value"] = ewma_user_value
+ORACLES["ewma_user_value"] = EWMA_SQL

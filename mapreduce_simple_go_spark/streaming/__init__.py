@@ -556,3 +556,4 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+

@@ -567,3 +567,75 @@ def test_tws_totals_converge_to_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_across_microbatches(spark, tmp_path):
+    """Cross-batch stream-stream join state: ALL clicks arrive in batch 1,
+    all purchases in batch 2 (two file drops, maxFilesPerTrigger=1). Every
+    qualifying pair still has to come out — the buffered click state must
+    survive the micro-batch boundary until the watermark clears it."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.operators.events import (
+        purchase_within_hour_of_click,
+    )
+    from mapreduce_simple_go_spark.sources import _normalize_ts, load_events
+    from mapreduce_simple_go_spark.streaming import (
+        purchases_after_clicks,
+        run_available_now,
+    )
+
+    ev = load_events(spark, SF_DIR)
+    src = tmp_path / "split_src"
+    src.mkdir()
+    for i, pred in enumerate(
+        [F.col("event_type") != "purchase", F.col("event_type") == "purchase"]
+    ):
+        tmp = tmp_path / f"stage{i}"
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        pfile = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.copy(tmp / pfile, src / f"drop{i}.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = _normalize_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_available_now(purchases_after_clicks(stream), "ssj_split_mem", "append")
+    got = sorted_rows(spark.sql("SELECT * FROM ssj_split_mem"))
+    want = sorted_rows(purchase_within_hour_of_click(spark, SF_DIR))
+    assert got == want and len(got) > 0
+
+
+def test_session_window_native_boundary_semantics(spark):
+    """Pin the merge-on-touch boundary: an event arriving EXACTLY gap after
+    its predecessor MERGES into the same native session_window session
+    (Spark merges sessions whose intervals touch), and only a strictly
+    larger gap splits — i.e. the split rule is `gap > threshold`, matching
+    the lag-based sessionization oracle. Empirically verified; the oracle
+    SQL in SESSION_WINDOW_NATIVE_SQL uses the same strict inequality."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    rows = [
+        (1, t0),
+        (1, t0 + gap),  # exactly the gap -> sessions touch -> MERGE
+        (2, t0),
+        (2, t0 + gap + dt.timedelta(microseconds=1)),  # past the gap -> split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    got = {r.user_id: r.n_sessions for r in out.collect()}
+    assert got == {1: 1, 2: 2}
