@@ -1296,3 +1296,127 @@ ORDER BY band
 
 QUERIES["lsh_band_occupancy"] = lsh_band_occupancy
 ORACLES["lsh_band_occupancy"] = LSH_BAND_OCCUPANCY_SQL
+
+
+# C4-style span rewrite: the corpus is cut into non-overlapping runs of
+# REWRITE_SPAN_W tokens; a span seen anywhere before (global first
+# occurrence by (doc_id, span_no)) is deleted from every later document.
+REWRITE_SPAN_W = 10
+
+
+def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup that REWRITES the corpus (C4's duplicate-line
+    removal, over fixed token spans since the fixture text has no
+    newlines): every non-overlapping 10-token span keeps only its globally
+    first occurrence — later repeats are cut out and the surviving spans
+    are stitched back into a cleaned document.
+
+    This is the missing half of chunk_dedup (which only REPORTS repeated
+    chunks): the output here is the rewritten corpus itself, every doc_id
+    preserved (possibly with empty clean_text). Pipeline shape: one
+    tokenize+slice pass (map-only), ONE shuffle on the span digest to pick
+    keepers (row_number over (digest) — never the span text), one shuffle
+    back on doc_id to reassemble. Span digests are 48-bit int64s, so the
+    keeper election shuffles 16 bytes per span regardless of span text
+    size; at 100 TB the reassembly groupBy is keyed on doc_id (uniform, no
+    skew) and carries only kept spans.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    span_idx = F.when(n > 0, F.sequence(F.lit(0), F.ceil(n / REWRITE_SPAN_W) - 1)
+                      ).otherwise(F.array().cast("array<int>"))
+    spans = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    span_idx,
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * REWRITE_SPAN_W + 1, REWRITE_SPAN_W)
+                    ),
+                )
+            ).alias("span_no", "span"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(hash48(F.col("span"))).orderBy("doc_id", "span_no")
+    marked = spans.withColumn("keep", F.row_number().over(w) == 1)
+    rebuilt = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("keep").cast("long")).alias("n_spans_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("span_no"), F.col("span")),
+                            )
+                        )
+                    ),
+                    lambda s: s.span,
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+LINE_DEDUP_REWRITE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'), w -> w <> '') AS t
+  FROM documents
+),
+lists AS (
+  SELECT doc_id,
+         list_transform(range(1, CAST(ceil(len(t) / {REWRITE_SPAN_W}.0) AS BIGINT) + 1),
+                        i -> struct_pack(
+                          span_no := i - 1,
+                          span := array_to_string(
+                            list_slice(t, (i-1)*{REWRITE_SPAN_W} + 1,
+                                       (i-1)*{REWRITE_SPAN_W} + {REWRITE_SPAN_W}), ' ')
+                        )) AS span_structs
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, unnest(span_structs, recursive := true)
+  FROM lists
+),
+marked AS (
+  SELECT doc_id, span_no, span,
+         ROW_NUMBER() OVER (PARTITION BY {duckdb_hash48('span')}
+                            ORDER BY doc_id, span_no) = 1 AS keep
+  FROM spans
+),
+rebuilt AS (
+  SELECT doc_id,
+         COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_kept,
+         COALESCE(string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY span_no), '')
+           AS clean_text
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.n_spans, 0) AS n_spans,
+       COALESCE(r.n_spans_kept, 0) AS n_spans_kept,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+QUERIES["line_dedup_rewrite"] = line_dedup_rewrite
+ORACLES["line_dedup_rewrite"] = LINE_DEDUP_REWRITE_SQL

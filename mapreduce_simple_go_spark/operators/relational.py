@@ -1892,3 +1892,108 @@ FROM orders
 
 QUERIES["global_rank_orders"] = global_rank_orders
 ORACLES["global_rank_orders"] = GLOBAL_RANK_SQL
+
+
+# Deequ-style table profile: per-column completeness + uniqueness in one
+# pass over the table.
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile of the orders table: per column, row count, null
+    count, and exact distinct count — the data-quality screen (Deequ-style
+    completeness/uniqueness metrics) a pipeline runs before trusting an
+    ingested table.
+
+    ONE aggregation over one scan computes every metric: Catalyst plans
+    the N exact count-distincts via a single Expand (each input row fans
+    out once per profiled column) + one partial-aggregated shuffle — still
+    a single pass over the data, vs the naive N full scans. The 1-row
+    result is then unpivoted driver-side-free via stack() into the
+    (col_name, metric...) shape. At 100 TB the expand multiplies shuffle
+    input by #columns; for very wide tables swap exact count_distinct for
+    approx_count_distinct per column — kept exact here so the DuckDB
+    oracle can replay it bit-for-bit.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nulls_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+DATA_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+    f" COUNT(*) - COUNT({c}) AS n_nulls,"
+    f" COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS
+)
+
+QUERIES["data_profile_orders"] = data_profile_orders
+ORACLES["data_profile_orders"] = DATA_PROFILE_SQL
+
+
+def pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query: orders not dominated on
+    (earlier o_orderdate, higher o_totalprice). Order B dominates A when
+    B.date <= A.date and B.price >= A.price with at least one strict.
+
+    The classic skyline needs no all-pairs join for a 2-D front: collapse
+    to per-date maxima first (bounded by date cardinality — a few thousand
+    rows at ANY fact scale), take a running max over the date-ordered
+    aggregate, and broadcast the per-date thresholds back onto the fact
+    scan. A is on the front iff no strictly earlier date reached its price
+    (prev_max < price) and nothing on its own date strictly beat it
+    (price = its date's max). The only unpartitioned window runs over the
+    per-date aggregate, not the fact table — the same bounded-driver-state
+    trade documented for global_rank_orders. Prices compare as
+    DECIMAL(18,2) so ties are exact.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice",
+        money(F.col("o_totalprice")).alias("p2"),
+    )
+    per_date = orders.groupBy("o_orderdate").agg(F.max("p2").alias("day_max"))
+    w = Window.orderBy("o_orderdate").rowsBetween(Window.unboundedPreceding, -1)
+    thresholds = per_date.withColumn("prev_max", F.max("day_max").over(w))
+    return (
+        orders.join(F.broadcast(thresholds), "o_orderdate")
+        .filter(
+            (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("p2")))
+            & (F.col("day_max") == F.col("p2"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+PARETO_SQL = """
+WITH d AS (
+  SELECT o_orderdate, MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS day_max
+  FROM orders GROUP BY o_orderdate
+),
+t AS (
+  SELECT o_orderdate, day_max,
+         MAX(day_max) OVER (ORDER BY o_orderdate
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM d
+)
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM orders o JOIN t USING (o_orderdate)
+WHERE (t.prev_max IS NULL OR t.prev_max < CAST(o.o_totalprice AS DECIMAL(18,2)))
+  AND t.day_max = CAST(o.o_totalprice AS DECIMAL(18,2))
+"""
+
+QUERIES["pareto_orders"] = pareto_orders
+ORACLES["pareto_orders"] = PARETO_SQL

@@ -586,3 +586,62 @@ LIMIT {WEIGHTED_SAMPLE_K}
 
 QUERIES["weighted_sample_docs"] = weighted_sample_docs
 ORACLES["weighted_sample_docs"] = WEIGHTED_SAMPLE_SQL
+
+
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights that rebalance the corpus token mix to a
+    uniform target share (the domain-mixture step of training-data
+    assembly: upweight under-represented sources, downweight dominant
+    ones).
+
+    mix_weight = target_share / actual_token_share, so sampling each
+    source's documents with probability proportional to its weight yields
+    the target distribution in expectation. One tokenize pass + one
+    groupBy(source); the corpus-wide totals ride in on a broadcast
+    crossJoin of the single-row global aggregate (the scalar-join pattern
+    every engine compiles to a broadcast at any scale). Token counts are
+    exact int64 — shares are rounded only at the output edge.
+    """
+    docs = _docs(spark, sf_dir)
+    per_src = (
+        docs.select("source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    totals = per_src.agg(
+        F.count("*").alias("n_sources"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 9).alias("token_share"),
+            F.round(
+                F.col("tot_tokens")
+                / (F.col("n_sources") * F.col("n_tokens")),
+                9,
+            ).alias("mix_weight"),
+        )
+    )
+
+
+DOMAIN_MIX_SQL = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+                                  w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT COUNT(*) AS n_sources, SUM(n_tokens) AS tot_tokens FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tot_tokens, 9) AS token_share,
+       round(CAST(tot_tokens AS DOUBLE) / (n_sources * n_tokens), 9) AS mix_weight
+FROM per_src, totals
+"""
+
+QUERIES["domain_mix_weights"] = domain_mix_weights
+ORACLES["domain_mix_weights"] = DOMAIN_MIX_SQL

@@ -460,3 +460,73 @@ def test_weighted_sample_is_take_ordered_no_global_sort(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "SinglePartition" not in plan
+
+
+def test_pareto_skyline_window_only_over_per_date_aggregate(spark):
+    """The skyline's unpartitioned running-max window must consume the
+    per-date AGGREGATE (bounded by date cardinality), never the orders
+    scan; the threshold table joins back by broadcast, and the per-date
+    collapse combines map-side."""
+    from mapreduce_simple_go_spark.operators.relational import pareto_orders
+
+    df = pareto_orders(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_data_profile_single_scan_single_aggregation(spark):
+    """The N-column profile must be ONE pass: one parquet scan feeding one
+    Expand + one aggregation — not one scan per column (the naive UNION
+    formulation the oracle uses)."""
+    from mapreduce_simple_go_spark.operators.relational import data_profile_orders
+
+    df = data_profile_orders(spark, SF_DIR)
+    assert len(scan_read_schemas(df)) == 1
+    assert "Expand" in formatted_plan(df)
+
+
+def test_domain_mix_totals_ride_broadcast(spark):
+    """Corpus-wide totals must reach the per-source rows via a broadcast
+    of the single-row aggregate — no shuffle join, no second tokenize scan
+    shuffled on a global key."""
+    from mapreduce_simple_go_spark.operators.sampling import domain_mix_weights
+
+    df = domain_mix_weights(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert has_partial_aggregation(df)
+
+
+def test_line_dedup_rewrite_keeper_election_shuffles_digests(spark):
+    """The keeper-election window must partition on the 48-bit span digest
+    (an int64), and no single-partition exchange may appear anywhere —
+    both shuffles (digest election, doc_id reassembly) are keyed."""
+    from mapreduce_simple_go_spark.operators.dedup import line_dedup_rewrite
+
+    df = line_dedup_rewrite(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert count_operator(df, "Window") == 1
+
+
+def test_anomaly_zscore_stats_broadcast_back(spark):
+    """The 5-row moment table must broadcast onto the fact rows — the
+    events scan joins without shuffling."""
+    from mapreduce_simple_go_spark.operators.events import anomaly_zscore
+
+    df = anomaly_zscore(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_ewma_single_user_shuffle_no_single_partition(spark):
+    """EWMA is one window pass partitioned on user_id: exactly one
+    exchange over the events scan, never a global sort."""
+    from mapreduce_simple_go_spark.operators.events import ewma_user_value
+
+    df = ewma_user_value(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    assert count_operator(df, "Window") == 1
