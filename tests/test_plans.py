@@ -530,3 +530,17 @@ def test_ewma_single_user_shuffle_no_single_partition(spark):
     plan = formatted_plan(df)
     assert "SinglePartition" not in plan
     assert count_operator(df, "Window") == 1
+
+
+def test_session_window_native_one_shuffle_partial_merge(spark):
+    """Native sessionization must partial-aggregate BEFORE its one
+    exchange (MergingSessions finalizes after), and the scan must prune to
+    the three needed columns."""
+    from mapreduce_simple_go_spark.operators.events import session_window_native
+
+    df = session_window_native(spark, SF_DIR)
+    assert "MergingSessions" in formatted_plan(df)
+    assert count_operator(df, "Exchange") == 1
+    assert has_partial_aggregation(df)
+    schemas = scan_read_schemas(df)
+    assert schemas and "event_type" not in schemas[0] and "props" not in schemas[0]
