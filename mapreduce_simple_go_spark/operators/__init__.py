@@ -42,6 +42,7 @@ def _modules():
 _WINDOW_PRIORITY = [
     # new in round 5 — no driver verdict yet
     "session_window_native",
+    "stream_session_window_native",
     "stream_click_purchase_join",
     "anomaly_zscore",
     "ewma_user_value",

@@ -1241,3 +1241,69 @@ FROM frames
 
 QUERIES["ewma_user_value"] = ewma_user_value
 ORACLES["ewma_user_value"] = EWMA_SQL
+
+
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry running NATIVE session windows on the STREAMING
+    engine: session_window as the group key of a watermarked streaming
+    aggregation (the built-in counterpart to stream_sessions_gap_closed's
+    hand-rolled applyInPandasWithState sessionizer).
+
+    Complete-mode availableNow drain: session state merges across
+    micro-batches inside the aggregation and the final table must equal
+    the batch session_window_native result EXACTLY — same oracle, reused
+    verbatim (empirically: append mode withholds each user's
+    watermark-open final sessions; complete emits all). Ninth streaming
+    family under the hash gate. State per (user, open session) is one
+    interval+aggregate row, evicted on merge; at scale the same one
+    shuffle on user_id as the batch twin, sized here to key cardinality.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import run_available_now, stream_events
+
+    root = tempfile.mkdtemp(prefix="ev_snat_q_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        _stage_events(sf_dir, src)
+        ev = stream_events(spark, src)
+        agg = (
+            ev.withWatermark("ts", "2 hours")
+            .groupBy(
+                F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+                "user_id",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(money(F.col("value"))).cast("double").alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+        )
+        name = "snat_" + uuid.uuid4().hex[:8]
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_available_now(agg, name, "complete")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        out = spark.sql(
+            f"SELECT user_id, session_start, session_end, n_events, total_value "
+            f"FROM {name}"
+        ).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+QUERIES["stream_session_window_native"] = stream_session_window_native
+ORACLES["stream_session_window_native"] = SESSION_WINDOW_NATIVE_SQL

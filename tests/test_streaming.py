@@ -639,3 +639,54 @@ def test_session_window_native_boundary_semantics(spark):
     )
     got = {r.user_id: r.n_sessions for r in out.collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_native_session_window_append_withholds_open_sessions(spark, events_src):
+    """Streaming session_window semantics, pinned: complete mode emits
+    every session (= the batch result); append mode withholds exactly the
+    sessions still open at the final watermark (each user's last session
+    whose end is within the 2 h allowance of max event time)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.operators.events import (
+        SESSION_GAP_MIN,
+        session_window_native,
+    )
+    from mapreduce_simple_go_spark.streaming import run_available_now, stream_events
+
+    def drained(mode):
+        agg = (
+            stream_events(spark, events_src)
+            .withWatermark("ts", "2 hours")
+            .groupBy(
+                F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+                "user_id",
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        run_available_now(agg, f"snat_t_{mode}", mode)
+        return spark.sql(f"SELECT * FROM snat_t_{mode}").collect()
+
+    batch = session_window_native(spark, SF_DIR).select(
+        "user_id", "session_start", "session_end", "n_events"
+    ).collect()
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)
+    complete, append = drained("complete"), drained("append")
+    assert sorted(map(key, complete)) == sorted(map(key, batch))
+    withheld = set(map(key, complete)) - set(map(key, append))
+    assert set(map(key, append)) <= set(map(key, complete))
+    max_ts = max(r.session_end for r in complete) - dt.timedelta(
+        minutes=SESSION_GAP_MIN
+    )
+    watermark = max_ts - dt.timedelta(hours=2)
+    # exactly the watermark-open sessions are withheld
+    assert withheld == {k for k in map(key, complete) if k[2] > watermark}
+    assert len(withheld) > 0
