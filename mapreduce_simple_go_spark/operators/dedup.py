@@ -1315,11 +1315,13 @@ def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks): the output here is the rewritten corpus itself, every doc_id
     preserved (possibly with empty clean_text). Pipeline shape: one
     tokenize+slice pass (map-only), ONE shuffle on the span digest to pick
-    keepers (row_number over (digest) — never the span text), one shuffle
-    back on doc_id to reassemble. Span digests are 48-bit int64s, so the
-    keeper election shuffles 16 bytes per span regardless of span text
-    size; at 100 TB the reassembly groupBy is keyed on doc_id (uniform, no
-    skew) and carries only kept spans.
+    keepers (row_number over md5(span) — never the raw span text), one
+    shuffle back on doc_id to reassemble. The election key is the FULL
+    128-bit md5, not the 48-bit hash the report-only ops use: a digest
+    collision here would DELETE innocent text, and at 100 TB span counts
+    48-bit collisions are certain while 128-bit stay negligible. At 100 TB
+    the reassembly groupBy is keyed on doc_id (uniform, no skew) and
+    carries only kept spans.
     """
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
@@ -1341,7 +1343,13 @@ def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(hash48(F.col("span"))).orderBy("doc_id", "span_no")
+    # Full 128-bit md5 as the election key, NOT hash48: the rewrite is
+    # DESTRUCTIVE (a collision deletes innocent text), and at 100 TB span
+    # counts (~1e10) 48-bit birthday collisions are guaranteed while
+    # 128-bit remain ~1e-18. The extra 20 bytes/span of shuffle is the
+    # price of a safe delete; the report-only dedup ops keep the cheaper
+    # 48-bit digests.
+    w = Window.partitionBy(F.md5(F.col("span"))).orderBy("doc_id", "span_no")
     marked = spans.withColumn("keep", F.row_number().over(w) == 1)
     rebuilt = (
         marked.groupBy("doc_id")
@@ -1399,7 +1407,7 @@ spans AS (
 ),
 marked AS (
   SELECT doc_id, span_no, span,
-         ROW_NUMBER() OVER (PARTITION BY {duckdb_hash48('span')}
+         ROW_NUMBER() OVER (PARTITION BY md5(span)
                             ORDER BY doc_id, span_no) = 1 AS keep
   FROM spans
 ),
