@@ -209,3 +209,65 @@ def test_bloom_membership_has_no_false_negatives(train, ev):
         for t in doc.split():
             if t in ev_set:
                 assert all(p in bits for p in positions(t))
+
+
+# Gaps in minutes, biased to land EXACTLY on the 30-minute session
+# threshold often — the boundary where the two sessionization
+# formulations could diverge (they must not: session_window merges
+# touching sessions, so both split only on gap > threshold).
+SESSION_GAPS = st.lists(
+    st.lists(
+        st.sampled_from([1, 5, 29, 30, 30, 31, 45, 90]), min_size=1, max_size=8
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(SESSION_GAPS)
+def test_native_session_window_equals_lag_split_on_random_gaps(user_gaps):
+    """Random per-user event trains with many EXACT-threshold gaps: native
+    session_window and the lag-based `gap > threshold` rule must produce
+    identical session partitionings (same starts, same counts)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = _get_spark()
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u, gaps in enumerate(user_gaps):
+        t = t0
+        rows.append((u, eid, t))
+        eid += 1
+        for g in gaps:
+            t = t + dt.timedelta(minutes=g)
+            rows.append((u, eid, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+
+    native = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    lag_based = (
+        df.withColumn("is_new", is_new)
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    )
+    key = lambda r: (r.user_id, r.session_start, r.n_events)
+    assert sorted(map(key, native)) == sorted(map(key, lag_based))
