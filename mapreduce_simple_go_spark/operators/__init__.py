@@ -95,8 +95,13 @@ _WINDOW_PRIORITY = [
     "kv_get_visible",
     "kv_final_state",
     "kv_final_state_dedup",
-    "kv_shard_distribution",
+    # kv_shard_distribution is deliberately NOT here (window capacity is 50
+    # and this list must fit): its inputs are event_id/user_id/event_type
+    # only — kv_ops never consumes ts, so the round-5 timestamp
+    # normalization change cannot affect it, and it holds green driver rows
+    # from earlier rounds for unchanged code.
 ]
+assert len(_WINDOW_PRIORITY) <= 50, len(_WINDOW_PRIORITY)
 
 
 def _prioritize(out: dict) -> dict:

@@ -1314,14 +1314,17 @@ def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the missing half of chunk_dedup (which only REPORTS repeated
     chunks): the output here is the rewritten corpus itself, every doc_id
     preserved (possibly with empty clean_text). Pipeline shape: one
-    tokenize+slice pass (map-only), ONE shuffle on the span digest to pick
-    keepers (row_number over md5(span) — never the raw span text), one
-    shuffle back on doc_id to reassemble. The election key is the FULL
+    tokenize+slice pass (map-only), ONE shuffle HASHED on the span's md5
+    to elect keepers, one shuffle back on doc_id to reassemble. Both
+    shuffles necessarily carry the span text itself — a rewrite must move
+    the text to where the cleaned doc is stitched — so shuffle volume is
+    the corpus size (linear, unconditionally: a span repeated M times
+    contributes M rows, never M² pairs). The election KEY is the full
     128-bit md5, not the 48-bit hash the report-only ops use: a digest
     collision here would DELETE innocent text, and at 100 TB span counts
-    48-bit collisions are certain while 128-bit stay negligible. At 100 TB
-    the reassembly groupBy is keyed on doc_id (uniform, no skew) and
-    carries only kept spans.
+    48-bit collisions are certain while 128-bit stay negligible. The
+    reassembly groupBy is keyed on doc_id (uniform, no skew) and carries
+    only kept spans.
     """
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))

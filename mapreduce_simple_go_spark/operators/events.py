@@ -40,6 +40,64 @@ def _stage_events(sf_dir: str, dst_dir: str) -> None:
         shutil.copy(src, os.path.join(dst_dir, "events.parquet"))
 
 
+def _drain_staged(
+    spark: SparkSession,
+    prefix: str,
+    build,
+    mode: str,
+    select_sql: str,
+    *,
+    sf_dir: str | None = None,
+    stage_df: DataFrame | None = None,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Shared stage-and-drain ritual for the streaming registry entries.
+
+    Stages a bounded source dir (the raw events table from ``sf_dir``, or
+    ``stage_df`` written as ONE parquet file so arrival order is its row
+    order), runs ``build(stream)`` through an availableNow drain into a
+    uuid-named memory sink, and returns ``select_sql`` (with ``{name}``
+    interpolated) over it — localCheckpointed so the temp view can be
+    dropped immediately. ``shuffle_partitions`` temporarily sizes the
+    stateful shuffle to key cardinality (restored after the drain); the
+    try/finally around the final SELECT means a post-drain failure can't
+    leak the view into the catalog.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import run_available_now, stream_events
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        if stage_df is not None:
+            stage = os.path.join(root, "stage")
+            stage_df.coalesce(1).write.mode("overwrite").parquet(stage)
+            pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            shutil.copy(os.path.join(stage, pfile), os.path.join(src, "drop0.parquet"))
+        else:
+            _stage_events(sf_dir, src)
+        name = prefix + uuid.uuid4().hex[:8]
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            run_available_now(build(stream_events(spark, src)), name, mode)
+        finally:
+            if shuffle_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    try:
+        out = spark.sql(select_sql.format(name=name)).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+    return out
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type: count + exact value sum.
 
@@ -447,45 +505,17 @@ def stream_sessions_gap_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry row after kv_stream_final_state where the correctness gate
     hashes actual streaming-engine output.
     """
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from ..streaming import run_available_now, session_fold
+    from ..streaming import session_fold
 
     ev = load_events(spark, sf_dir).select(
         "user_id", "ts", "event_id", "value"
     ).orderBy("ts", "event_id")
-    root = tempfile.mkdtemp(prefix="sess_stream_q_")
-    try:
-        stage = os.path.join(root, "stage")
-        src = os.path.join(root, "src")
-        os.makedirs(src)
-        ev.coalesce(1).write.mode("overwrite").parquet(stage)
-        pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        shutil.copy(os.path.join(stage, pfile), os.path.join(src, "drop0.parquet"))
-        schema = spark.read.parquet(src).schema
-        stream = spark.readStream.schema(schema).parquet(src)
-        name = "sessfold_" + uuid.uuid4().hex[:8]
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            run_available_now(session_fold(stream), name, "append")
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    # localCheckpoint severs lineage from the memory sink so the temp view
-    # drops cleanly (no catalog litter across repeated invocations)
-    out = spark.sql(
-        f"""
-        SELECT user_id, session_start_us, session_end_us, n_events, total_cents
-        FROM {name} WHERE closed_by = 'gap'
-        """
-    ).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    return _drain_staged(
+        spark, "sessfold_", session_fold, "append",
+        "SELECT user_id, session_start_us, session_end_us, n_events, total_cents "
+        "FROM {name} WHERE closed_by = 'gap'",
+        stage_df=ev, shuffle_partitions=8,
+    )
 
 
 STREAM_SESSIONS_SQL = f"""
@@ -575,27 +605,13 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session windows), all three streaming operator families have a
     correctness row hashing actual streaming-engine output.
     """
-    import shutil
-    import tempfile
-    import uuid
+    from ..streaming import hourly_counts
 
-    from ..streaming import hourly_counts, run_available_now, stream_events
-
-    root = tempfile.mkdtemp(prefix="ev_stream_q_")
-    try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
-        _stage_events(sf_dir, src)
-        name = "evh_" + uuid.uuid4().hex[:8]
-        stream = stream_events(spark, src)
-        run_available_now(hourly_counts(stream), name, "complete")
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    out = spark.sql(
-        f"SELECT hour, event_type, n_events, total_value FROM {name}"
-    ).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    return _drain_staged(
+        spark, "evh_", hourly_counts, "complete",
+        "SELECT hour, event_type, n_events, total_value FROM {name}",
+        sf_dir=sf_dir,
+    )
 
 
 QUERIES["stream_hourly_counts"] = stream_hourly_counts
@@ -615,43 +631,18 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     run 20% hot). Fourth streaming family under the driver's hash gate,
     after the stateful fold, session windows and watermarked window agg.
     """
-    import shutil
-    import tempfile
-    import uuid
-
-    from ..streaming import dedup_events_stream, run_available_now
+    from ..streaming import dedup_events_stream
 
     ev = load_events(spark, sf_dir)
     log = ev.unionByName(ev.filter(F.col("event_id") % 5 == 0))
-    root = tempfile.mkdtemp(prefix="ev_dedup_q_")
-    try:
-        stage = os.path.join(root, "stage")
-        src = os.path.join(root, "src")
-        os.makedirs(src)
-        log.coalesce(1).write.mode("overwrite").parquet(stage)
-        pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        shutil.copy(os.path.join(stage, pfile), os.path.join(src, "drop0.parquet"))
-        schema = spark.read.parquet(src).schema
-        stream = spark.readStream.schema(schema).parquet(src)
-        name = "evdd_" + uuid.uuid4().hex[:8]
-        run_available_now(
-            dedup_events_stream(stream).select("event_type", "event_id"),
-            name,
-            "append",
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    out = spark.sql(
-        f"""
-        SELECT event_type,
-               COUNT(*) AS n_events,
-               COUNT(DISTINCT event_id) AS n_distinct
-        FROM {name}
-        GROUP BY event_type
-        """
-    ).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    return _drain_staged(
+        spark, "evdd_",
+        lambda st: dedup_events_stream(st).select("event_type", "event_id"),
+        "append",
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "COUNT(DISTINCT event_id) AS n_distinct FROM {name} GROUP BY event_type",
+        stage_df=log,
+    )
 
 
 STREAM_DEDUP_SQL = """
@@ -723,30 +714,16 @@ def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the equivalent batch join+group — streaming output must converge to
     it exactly.
     """
-    import shutil
-    import tempfile
-    import uuid
-
-    from ..streaming import enriched_counts, run_available_now, stream_events
+    from ..streaming import enriched_counts
 
     dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
         "c_custkey", "c_mktsegment"
     )
-    root = tempfile.mkdtemp(prefix="ev_enrich_q_")
-    try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
-        _stage_events(sf_dir, src)
-        name = "eve_" + uuid.uuid4().hex[:8]
-        stream = stream_events(spark, src)
-        run_available_now(enriched_counts(stream, dim), name, "complete")
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    out = spark.sql(
-        f"SELECT c_mktsegment, event_type, n_events, total_value FROM {name}"
-    ).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    return _drain_staged(
+        spark, "eve_", lambda st: enriched_counts(st, dim), "complete",
+        "SELECT c_mktsegment, event_type, n_events, total_value FROM {name}",
+        sf_dir=sf_dir,
+    )
 
 
 STREAM_ENRICHED_SQL = """
@@ -977,27 +954,13 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the hash gate: tumbling (stream_hourly_counts), session
     (stream_sessions_gap_closed), sliding (this row).
     """
-    import shutil
-    import tempfile
-    import uuid
+    from ..streaming import sliding_counts
 
-    from ..streaming import run_available_now, sliding_counts, stream_events
-
-    root = tempfile.mkdtemp(prefix="ev_slide_q_")
-    try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
-        _stage_events(sf_dir, src)
-        name = "evs_" + uuid.uuid4().hex[:8]
-        stream = stream_events(spark, src)
-        run_available_now(sliding_counts(stream), name, "complete")
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    out = spark.sql(
-        f"SELECT window_start, event_type, n_events, total_value FROM {name}"
-    ).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    return _drain_staged(
+        spark, "evs_", sliding_counts, "complete",
+        "SELECT window_start, event_type, n_events, total_value FROM {name}",
+        sf_dir=sf_dir,
+    )
 
 
 QUERIES["stream_sliding_counts"] = stream_sliding_counts
@@ -1080,37 +1043,17 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted pair set must equal the batch interval join —
     purchase_within_hour_of_click's oracle, reused verbatim.
     """
-    import shutil
-    import tempfile
-    import uuid
+    from ..streaming import purchases_after_clicks
 
-    from ..streaming import purchases_after_clicks, run_available_now, stream_events
-
-    root = tempfile.mkdtemp(prefix="ev_ssj_q_")
-    try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
-        _stage_events(sf_dir, src)
-        name = "ssj_" + uuid.uuid4().hex[:8]
-        # Same state-shuffle sizing as kv_stream_final_state: the join
-        # buffers state per user_id on BOTH sides, and 32 near-empty
-        # state-store partitions cost more in per-partition setup than the
-        # join itself. Restored after the drain.
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            run_available_now(
-                purchases_after_clicks(stream_events(spark, src)), name, "append"
-            )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        out = spark.sql(
-            f"SELECT user_id, click_id, purchase_id, gap_us FROM {name}"
-        ).localCheckpoint(eager=True)
-        spark.catalog.dropTempView(name)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+    # shuffle_partitions=8, the kv_stream_final_state sizing: the join
+    # buffers state per user_id on BOTH sides, and 32 near-empty
+    # state-store partitions cost more in per-partition setup than the
+    # join itself (measured 10 s -> 3 s).
+    return _drain_staged(
+        spark, "ssj_", purchases_after_clicks, "append",
+        "SELECT user_id, click_id, purchase_id, gap_us FROM {name}",
+        sf_dir=sf_dir, shuffle_partitions=8,
+    )
 
 
 QUERIES["stream_click_purchase_join"] = stream_click_purchase_join
@@ -1140,11 +1083,16 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v6 * v6).cast("double").alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
-    var = F.col("s2") / F.col("n") - mean * mean
+    # greatest(var, 0) absorbs tiny negative float error; the sigma > 0
+    # filter below defines constant-valued groups as having NO outliers —
+    # without it Spark's NULL-on-div-by-zero and the oracle's IEEE inf
+    # would diverge on a zero-variance event_type.
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
     stats = stats.select("event_type", mean.alias("mu"), F.sqrt(var).alias("sigma"))
     z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 9)
     return (
         ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) > ANOMALY_Z)
         .select("event_id", "event_type", "value", "z")
@@ -1155,17 +1103,19 @@ ANOMALY_ZSCORE_SQL = f"""
 WITH stats AS (
   SELECT event_type,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
-         sqrt(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+         sqrt(greatest(
+              CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
                    AS DOUBLE) / COUNT(*)
               - (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
-                * (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)))
-           AS sigma
+                * (CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)),
+              0)) AS sigma
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
        round((e.value - s.mu) / s.sigma, 9) AS z
 FROM events e JOIN stats s USING (event_type)
-WHERE abs(round((e.value - s.mu) / s.sigma, 9)) > {ANOMALY_Z}
+WHERE s.sigma > 0
+  AND abs(round((e.value - s.mu) / s.sigma, 9)) > {ANOMALY_Z}
 """
 
 QUERIES["anomaly_zscore"] = anomaly_zscore
@@ -1193,7 +1143,10 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     one, which is what keeps it expressible as a reusable window expr at
     100 TB instead of a stateful pass.
     """
-    ev = load_events(spark, sf_dir)
+    # NULL-valued events are dropped from the series up front: Spark's
+    # collect_list silently skips NULLs while DuckDB's list() keeps them,
+    # so the contract (and both engines) exclude them explicitly.
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1227,7 +1180,7 @@ WITH frames AS (
          list(CAST(round(value * 1000000) AS BIGINT))
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN {EWMA_K - 1} PRECEDING AND CURRENT ROW) AS vals
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT user_id, event_id, value,
        round(
@@ -1258,19 +1211,8 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval+aggregate row, evicted on merge; at scale the same one
     shuffle on user_id as the batch twin, sized here to key cardinality.
     """
-    import shutil
-    import tempfile
-    import uuid
-
-    from ..streaming import run_available_now, stream_events
-
-    root = tempfile.mkdtemp(prefix="ev_snat_q_")
-    try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
-        _stage_events(sf_dir, src)
-        ev = stream_events(spark, src)
-        agg = (
+    def build(ev):
+        return (
             ev.withWatermark("ts", "2 hours")
             .groupBy(
                 F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
@@ -1288,21 +1230,13 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_value",
             )
         )
-        name = "snat_" + uuid.uuid4().hex[:8]
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            run_available_now(agg, name, "complete")
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        out = spark.sql(
-            f"SELECT user_id, session_start, session_end, n_events, total_value "
-            f"FROM {name}"
-        ).localCheckpoint(eager=True)
-        spark.catalog.dropTempView(name)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+
+    return _drain_staged(
+        spark, "snat_", build, "complete",
+        "SELECT user_id, session_start, session_end, n_events, total_value "
+        "FROM {name}",
+        sf_dir=sf_dir, shuffle_partitions=8,
+    )
 
 
 QUERIES["stream_session_window_native"] = stream_session_window_native

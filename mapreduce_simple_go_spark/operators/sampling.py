@@ -611,17 +611,24 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_src.agg(
         F.count("*").alias("n_sources"), F.sum("n_tokens").alias("tot_tokens")
     )
+    # A token-free source (or corpus) has an undefined share/weight: NULL
+    # on BOTH engines, never a div-by-zero (Spark would yield NULL where
+    # DuckDB's IEEE float division yields inf — a hash-gate divergence).
     return (
         per_src.crossJoin(F.broadcast(totals))
         .select(
             "source",
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("tot_tokens"), 9).alias("token_share"),
-            F.round(
-                F.col("tot_tokens")
-                / (F.col("n_sources") * F.col("n_tokens")),
-                9,
+            F.when(
+                F.col("tot_tokens") > 0,
+                F.round(F.col("n_tokens") / F.col("tot_tokens"), 9),
+            ).alias("token_share"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("tot_tokens") / (F.col("n_sources") * F.col("n_tokens")), 9
+                ),
             ).alias("mix_weight"),
         )
     )
@@ -638,8 +645,11 @@ totals AS (
   SELECT COUNT(*) AS n_sources, SUM(n_tokens) AS tot_tokens FROM per_src
 )
 SELECT source, n_docs, n_tokens,
-       round(CAST(n_tokens AS DOUBLE) / tot_tokens, 9) AS token_share,
-       round(CAST(tot_tokens AS DOUBLE) / (n_sources * n_tokens), 9) AS mix_weight
+       CASE WHEN tot_tokens > 0
+            THEN round(CAST(n_tokens AS DOUBLE) / tot_tokens, 9) END AS token_share,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(tot_tokens AS DOUBLE) / (n_sources * n_tokens), 9)
+       END AS mix_weight
 FROM per_src, totals
 """
 

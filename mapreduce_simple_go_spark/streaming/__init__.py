@@ -556,4 +556,3 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
-

@@ -500,15 +500,18 @@ def test_domain_mix_totals_ride_broadcast(spark):
 
 
 def test_line_dedup_rewrite_keeper_election_shuffles_digests(spark):
-    """The keeper-election window must partition on the 48-bit span digest
-    (an int64), and no single-partition exchange may appear anywhere —
-    both shuffles (digest election, doc_id reassembly) are keyed."""
+    """No single-partition exchange anywhere in the rewrite — both
+    shuffles (md5-keyed keeper election, doc_id reassembly) are keyed —
+    and the election runs as exactly one window pass. The plan text is
+    also required to show the md5 election key (the destructive-delete
+    collision-safety contract; see dedup.py docstring)."""
     from mapreduce_simple_go_spark.operators.dedup import line_dedup_rewrite
 
     df = line_dedup_rewrite(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "SinglePartition" not in plan
     assert count_operator(df, "Window") == 1
+    assert "md5(cast(span" in plan  # full-width election key, not hash48
 
 
 def test_anomaly_zscore_stats_broadcast_back(spark):
