@@ -61,7 +61,15 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       -- charge must STAY decimal in DuckDB: a three-factor (18,2) product
+       -- needs precision > 38, which DuckDB silently degrades to DOUBLE
+       -- (1-ulp divergence from Spark's exact DECIMAL(38,6) at sf >= 1).
+       -- Narrow casts keep every step <= 38: (12,2)x(4,2)->(18,4), x(4,2)->(23,6).
+       -- The VARCHAR round-trip is deliberate: DuckDB's direct
+       -- DECIMAL->DOUBLE cast double-rounds once the scale-6 scaled
+       -- integer exceeds 2^53 (int128 -> double, then /1e6), while strtod
+       -- — like Spark's and Python's casts — rounds the exact value once.
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -37,9 +37,12 @@ def main() -> int:
     spark = get_spark(app_name="self-correctness")
     duck = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; scaled local fixtures are
+        # Spark-written DIRECTORIES of part files — glob those for DuckDB
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        pat = os.path.join(path, "*.parquet") if os.path.isdir(path) else path
         duck.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
         )
     queries, oracles = all_queries(), all_oracles()
     results: dict[str, dict] = {}
