@@ -62,6 +62,13 @@ def _drain_staged(
     stateful shuffle to key cardinality (restored after the drain); the
     try/finally around the final SELECT means a post-drain failure can't
     leak the view into the catalog.
+
+    NOT thread-safe: the shuffle_partitions save/restore mutates SESSION
+    conf non-atomically, so concurrent queries sharing the SparkSession
+    would race on the global value. Registry entries run single-threaded
+    (driver gate and bench both iterate sequentially) — if this helper is
+    ever reused from parallel code, scope the override per-query instead
+    (e.g. a dedicated session clone via ``spark.newSession()``).
     """
     import shutil
     import tempfile

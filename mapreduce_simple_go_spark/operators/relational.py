@@ -1929,7 +1929,13 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+        # coalesce: over zero rows Spark's sum is NULL but the oracle's
+        # COUNT(*)-COUNT(c) is 0 — keep the degenerate case hash-identical.
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0).cast("long")
+            ).alias(f"nulls_{c}")
+        )
         aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
     one = orders.agg(*aggs)
     stack_args = ", ".join(

@@ -9,7 +9,7 @@ errors a SQL oracle could share with the Spark plan.
 from __future__ import annotations
 
 from collections import defaultdict
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
 
 from .conftest import SF_DIR, rows_key
 
@@ -51,7 +51,17 @@ def test_ewma_matches_python_replay(spark):
     want = {}
     for u, rs in by_user.items():
         rs.sort(key=lambda r: (r.ts, r.event_id))
-        scaled = [int(round(r.value * 1_000_000)) for r in rs]
+        # Decimal HALF_UP matches the operator's F.round micro-scaling;
+        # Python's round() is half-even and would diverge on a fixture
+        # value landing exactly on a .5 micro-unit tie.
+        scaled = [
+            int(
+                (Decimal(str(r.value)) * 1_000_000).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+            for r in rs
+        ]
         for i, r in enumerate(rs):
             frame = scaled[max(0, i - EWMA_K + 1) : i + 1]
             num = sum(v << j for j, v in enumerate(frame))
