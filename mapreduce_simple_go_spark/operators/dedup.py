@@ -241,6 +241,131 @@ HAVING est_jaccard >= 0.5
 """
 
 
+# Occupancy-capped (salted) LSH: bound on the per-join-group size. The cap
+# is DELIBERATELY tiny (2) so the real fixtures — whose largest band bucket
+# holds 3-4 docs — exercise the split path under the driver's oracle gate;
+# at 100 TB you would raise it to O(1000) (pair fan-out per bucket stays
+# C(cap+1, 2) ~ 5*10^5, trivially executor-sized) — the invariant that
+# matters is that NO bucket can go quadratic in its occupancy.
+LSH_BUCKET_CAP = 2
+
+
+def lsh_salted_keyed(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Band-index rows re-keyed as (band, sig, chunk) with per-chunk size
+    bound ``cap`` (+1 for the chained head — see below).
+
+    Bucket members are ranked by doc_id (deterministic, oracle-replayable)
+    and cut into chunks of ``cap``; every chunk HEAD additionally joins the
+    previous chunk, so an oversized bucket becomes a CHAIN of small cliques
+    instead of one quadratic clique — connected-components collapse still
+    unifies the whole bucket transitively, but the candidate join emits
+    O(k * cap) pairs for a k-doc bucket, never O(k^2). The extra window is
+    one shuffle on (band, sig) — the exact key the candidate join shuffles
+    on anyway.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "sig").orderBy("doc_id")
+    chunk = F.expr(f"(rn - 1) div {cap}")
+    is_head = (F.expr(f"(rn - 1) % {cap}") == 0) & (F.col("rn") > 1)
+    return (
+        bands.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "sig_full",
+            "band",
+            "sig",
+            F.explode(
+                F.when(is_head, F.array(chunk, chunk - 1)).otherwise(F.array(chunk))
+            ).alias("chunk"),
+        )
+    )
+
+
+def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with degenerate-band salting — the
+    100 TB-hardened form of :func:`dedup_minhash_lsh`.
+
+    Same banded index, but candidates join on (band, sig, chunk) via
+    :func:`lsh_salted_keyed`: a pathological bucket (millions of identical
+    boilerplate docs sharing one band signature) is chunked to ``cap``
+    members, chain-linked through chunk heads, and can no longer emit an
+    O(k^2) pair explosion — the skew hazard ``lsh_band_occupancy`` reports
+    is structurally capped instead of merely observed. Output is a subset
+    of the unsalted operator's pairs (equal whenever no bucket exceeds the
+    cap); within-chunk pairs carry the identical est_jaccard since the
+    full signature rides the join unchanged.
+    """
+    keyed = lsh_salted_keyed(_lsh_bands(minhash_wide(_docs(spark, sf_dir))))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.chunk") == F.col("b.chunk")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig_full").alias("sa"),
+            F.col("b.sig_full").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a", "doc_b", (n_eq / F.lit(float(NUM_PERM))).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+DEDUP_MINHASH_SALTED_SQL = f"""
+WITH sh AS ({DUCK_DOC_SHINGLES}),
+hashed AS (SELECT doc_id, {duckdb_hash48("shingle")} AS h FROM sh),
+mh AS (
+  SELECT doc_id, perm, MIN((a * h + b) & {(1 << 48) - 1}) AS minhash
+  FROM hashed, (VALUES {_DUCK_COEFFS}) AS coeffs(perm, a, b)
+  GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // {NUM_PERM // LSH_BANDS} AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS sig
+  FROM mh GROUP BY doc_id, band
+),
+ranked AS (
+  SELECT doc_id, band, sig,
+         ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY doc_id) - 1 AS rn
+  FROM bands
+),
+keyed AS (
+  SELECT doc_id, band, sig, rn // {LSH_BUCKET_CAP} AS chunk FROM ranked
+  UNION ALL
+  SELECT doc_id, band, sig, rn // {LSH_BUCKET_CAP} - 1 AS chunk FROM ranked
+  WHERE rn % {LSH_BUCKET_CAP} = 0 AND rn > 0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.sig = b.sig AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / {float(NUM_PERM)} AS est_jaccard
+FROM cand
+JOIN mh ma ON ma.doc_id = doc_a
+JOIN mh mb ON mb.doc_id = doc_b AND ma.perm = mb.perm
+GROUP BY doc_a, doc_b
+HAVING est_jaccard >= 0.5
+"""
+
+
 # 3. SimHash -------------------------------------------------------------------
 
 def _md5_bits_hash(col, bits: int):
@@ -462,6 +587,7 @@ WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.8
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_salted": dedup_minhash_lsh_salted,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
@@ -469,6 +595,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_minhash_lsh_salted": DEDUP_MINHASH_SALTED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
 }

@@ -249,15 +249,18 @@ def _score_pairs_np(df: DataFrame, a_col: str, b_col: str, keep: list[str]) -> D
     return df.select(*keep, a_col, b_col).mapInPandas(go, schema=schema)
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> DataFrame:
     """IVF cell-probe approximate top-k.
 
     Coarse quantizer: a fixed-count deterministic sample of the base table
     (k = n_centroids(n) vectors with the smallest hash48(vec_id) — see
     _centroids). Build phase assigns every base vector to its nearest
     centroid (broadcast numpy argmax in one mapInPandas pass — no shuffle of
-    the base table). Query phase probes the NPROBE nearest cells only.
-    Recall vs the exact baseline is asserted in tests/test_similarity.py.
+    the base table). Query phase probes the ``nprobe`` nearest cells only —
+    the recall/cost knob: scan cost per query is ~|base| * nprobe / n_cells,
+    recall@k rises with nprobe (measured table in SCALE.md; recall floor
+    asserted in tests/test_similarity.py). ``ann_ivf_topk_multiprobe`` is
+    the registered wide-probe (nprobe = NPROBE_WIDE) form.
     """
     base = _emb(spark, sf_dir)
 
@@ -270,7 +273,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = assign_cells(
         spark,
         base.filter(F.col("vec_id") % QUERY_MOD == 0),
-        nprobe=NPROBE,
+        nprobe=nprobe,
         cents_from=base,
     ).select(F.col("vec_id").alias("qid"), "cell")
     probe_q = probes.join(
@@ -311,7 +314,9 @@ CENTS_SQL = f"""
   )
 """
 
-ANN_IVF_SQL = f"""
+def ann_ivf_sql(nprobe: int) -> str:
+    """DuckDB twin of :func:`ann_ivf_topk` at the given probe width."""
+    return f"""
 WITH cents AS (
 {CENTS_SQL}
 ),
@@ -335,7 +340,7 @@ probes AS (
                               ORDER BY {duck_cosine_raw('q.q_emb', 'c.c_emb')} DESC,
                                        c.cent_id ASC) AS crank
     FROM q CROSS JOIN cents c
-  ) WHERE crank <= {NPROBE}
+  ) WHERE crank <= {nprobe}
 ),
 scored AS (
   SELECT DISTINCT p.query_id, e.vec_id,
@@ -354,6 +359,25 @@ ranked AS (
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+ANN_IVF_SQL = ann_ivf_sql(NPROBE)
+
+# Wide-probe form: the standard IVF answer to "recall too low at nprobe=3"
+# is more probes, not more centroids — scan cost grows linearly in nprobe
+# while the cell structure (and its build pass) is unchanged. Registered as
+# its own entry so the driver's oracle gate pins BOTH points of the
+# recall/cost curve (the curve itself is measured in scripts/ann_recall.py,
+# table in SCALE.md).
+NPROBE_WIDE = 6
+
+
+def ann_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivf_topk` probing NPROBE_WIDE cells per query."""
+    return ann_ivf_topk(spark, sf_dir, nprobe=NPROBE_WIDE)
+
+
+ANN_IVF_MULTIPROBE_SQL = ann_ivf_sql(NPROBE_WIDE)
 
 
 MAX_BRUTE_ROWS = 200_000  # ~100 MB broadcast at 64-dim float64 — the same
@@ -447,12 +471,14 @@ WHERE {duck_cosine('a.embedding', 'b.embedding')} >= 0.45
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_topk_multiprobe": ann_ivf_topk_multiprobe,
     "embedding_near_dup": embedding_near_dup,
 }
 
 ORACLES = {
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_ivf_topk_multiprobe": ANN_IVF_MULTIPROBE_SQL,
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
 }
 

@@ -41,6 +41,30 @@ def test_ivf_recall_vs_brute_force(spark):
     assert mean_recall >= 0.3, f"IVF mean recall {mean_recall:.2f} too low"
 
 
+def test_ivf_recall_rises_with_nprobe(spark):
+    """The nprobe knob must behave like one: wider probes may only add
+    candidate cells, so recall is monotone non-decreasing in nprobe and
+    the registered multiprobe form dominates the default. Measured curve
+    lives in SCALE.md (scripts/ann_recall.py)."""
+    from mapreduce_simple_go_spark.operators.similarity import NPROBE_WIDE
+
+    exact_sets = {}
+    for r in ann_cosine_topk(spark, SF_DIR).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def mean_recall(nprobe):
+        approx = {}
+        for r in ann_ivf_topk(spark, SF_DIR, nprobe=nprobe).collect():
+            approx.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(exact_sets[q] & approx.get(q, set())) / TOP_K for q in exact_sets
+        ) / len(exact_sets)
+
+    r1, r3, r_wide = mean_recall(1), mean_recall(3), mean_recall(NPROBE_WIDE)
+    assert r1 <= r3 <= r_wide, (r1, r3, r_wide)
+    assert r_wide >= 0.6, f"multiprobe recall {r_wide:.2f} below floor"
+
+
 def test_minhash_finds_planted_near_dups(spark):
     """Every high-Jaccard pair (>=0.9 exact) must appear as a MinHash
     candidate, and the estimate must be within 0.35 of exact."""
