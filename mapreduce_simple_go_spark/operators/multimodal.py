@@ -356,29 +356,30 @@ QUERIES["multimodal_resize"] = multimodal_resize
 ORACLES["multimodal_resize"] = _MM_RESIZE_ORACLE
 
 
-def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Audio' feature extraction: amplitude stats over 8-bit PCM samples.
+def _audio_stats_over(
+    media: DataFrame,
+    decoders: dict[str, Callable[[bytes], bytes]] | None = None,
+) -> DataFrame:
+    """Amplitude stats (count, mean, RMS) over decoded 8-bit PCM samples.
 
-    Treats each payload as unsigned 8-bit PCM and computes the standard
-    loudness profile (sample count, mean amplitude, RMS) — the shape of a
-    real audio-featurization stage, with numpy doing the per-batch math
-    exactly (integer sums; one float division/sqrt at the end, so the
-    result is bit-identical to the oracle's integer-sum formulation). One
-    Arrow pass, no shuffle. The final round happens in SPARK (HALF_UP,
-    matching DuckDB's round) — Python's round() is banker's and would
-    diverge on boundary values.
+    Shared engine for the fake-codec and real-WAV registry entries: numpy
+    does the per-batch math exactly (integer sums; one float division/sqrt
+    at the end, so the result is bit-identical to the oracle's integer-sum
+    formulation). One Arrow pass, no shuffle. The final round happens in
+    SPARK (HALF_UP, matching DuckDB's round) — Python's round() is
+    banker's and would diverge on boundary values.
     """
     import math
 
     import numpy as np
 
-    media = synth_media(spark, sf_dir)
+    table = dict(DECODERS if decoders is None else decoders)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"doc_id": [], "n_samples": [], "mean_raw": [], "rms_raw": []}
             for doc_id, m, meta in zip(pdf["doc_id"], pdf["media"], pdf["media_meta"]):
-                payload = decode_media(bytes(m), meta["format"])
+                payload = decode_media(bytes(m), meta["format"], table)
                 arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 n = len(arr)
                 s = int(arr.sum()) if n else 0
@@ -399,6 +400,12 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_raw", 9).alias("mean_amp"),
         F.round("rms_raw", 9).alias("rms_amp"),
     )
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio' feature extraction over the byte-identity fake codec —
+    see :func:`_audio_stats_over`."""
+    return _audio_stats_over(synth_media(spark, sf_dir))
 
 
 _MM_AUDIO_ORACLE = f"""
@@ -424,6 +431,91 @@ FROM summed
 
 QUERIES["multimodal_audio_stats"] = multimodal_audio_stats
 ORACLES["multimodal_audio_stats"] = _MM_AUDIO_ORACLE
+
+
+# Real-codec path: RIFF/WAVE via the stdlib ``wave`` module — the one audio
+# codec every environment ships. The "fixture" WAV files are synthesized
+# executor-side (each document's utf-8 bytes as unsigned 8-bit PCM mono
+# samples inside a genuine 44-byte-header RIFF container), then DECODED by
+# wave_decoder parsing that container — so the registry entry exercises a
+# real encode→decode roundtrip, not the byte-identity stub, while the
+# DuckDB oracle stays the raw-bytes amplitude profile (WAV 8-bit PCM data
+# IS the sample bytes; a header/framing bug would shift every stat and go
+# hash-red).
+WAV_FRAMERATE = 8000
+
+
+def wave_encode(payload: bytes) -> bytes:
+    """Wrap raw bytes as mono 8-bit PCM WAV (real RIFF container)."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(WAV_FRAMERATE)
+        w.writeframes(payload)
+    return buf.getvalue()
+
+
+def wave_decoder(b: bytes) -> bytes:
+    """REAL ``audio/wav`` codec: parse the RIFF container, return raw
+    sample bytes. Registered per-query via the ``decoders`` seam."""
+    import io
+    import wave as wave_mod
+
+    with wave_mod.open(io.BytesIO(b), "rb") as w:
+        if w.getsampwidth() != 1 or w.getnchannels() != 1:
+            raise ValueError("expected mono 8-bit PCM")
+        return w.readframes(w.getnframes())
+
+
+def synth_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, media, media_meta) with media = a real WAV file per doc."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", F.encode("text", "utf-8").alias("raw")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            wavs = [wave_encode(bytes(r)) for r in pdf["raw"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": wavs,
+                    "fmt": ["audio/wav"] * len(wavs),
+                    "n_bytes": [len(b) for b in wavs],
+                }
+            )
+
+    wav = docs.mapInPandas(
+        batches, schema="doc_id long, media binary, fmt string, n_bytes int"
+    )
+    return wav.select(
+        "doc_id",
+        "media",
+        F.struct(
+            F.col("fmt").alias("format"),
+            F.col("n_bytes"),
+            (F.col("doc_id") % 3).cast("int").alias("channel"),
+        ).alias("media_meta"),
+    )
+
+
+def multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry decoding REAL WAV containers through the codec seam:
+    synth_wav_media writes genuine RIFF files, wave_decoder (stdlib
+    ``wave``) parses them back, and the amplitude stats must hash-match
+    the raw-byte oracle — the tested-by-decoding proof of the
+    register_decoder/decoders contract."""
+    return _audio_stats_over(
+        synth_wav_media(spark, sf_dir), decoders={"audio/wav": wave_decoder}
+    )
+
+
+QUERIES["multimodal_audio_wav"] = multimodal_audio_wav
+ORACLES["multimodal_audio_wav"] = _MM_AUDIO_ORACLE
 
 
 def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -112,6 +112,74 @@ LIMIT 10
 """
 
 
+# Bucket-ingested q3: the write-side strategy that removes the fact-fact
+# shuffle from EVERY subsequent orderkey join. Bucket count is small so the
+# driver fixtures produce non-trivial buckets; at 100 TB you would size it
+# to ~(table size / 128 MB) once at ingest.
+Q3_INGEST_BUCKETS = 8
+
+
+def _q3_over_tables(spark: SparkSession, lt: str, ot: str, cust: DataFrame) -> DataFrame:
+    """q3's join/agg over catalog tables ``lt`` (lineitem) and ``ot``
+    (orders) — shared by the registry entry and the plan-pin test."""
+    orders = spark.table(ot).filter(F.col("o_orderstatus") != "F")
+    li = spark.table(lt)
+    revenue = money(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - money(F.col("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q3_bucketed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3 over bucket-INGESTED fact tables, end-to-end under the oracle
+    gate: orders and lineitem are first written ``bucketBy(orderkey)``
+    (the one-time ingest shuffle), then the query's fact-fact join reads
+    the bucketed tables and plans WITHOUT an Exchange on either fact side
+    — each bucket pair joins locally, pre-sorted on the join key.
+
+    This is the registry twin of tests/test_bucketing.py's plan pin: the
+    same write-bucketed-then-join path, but producing q3's actual result
+    under the driver's hash gate (identical to q3_shipping_priority's
+    oracle — bucketing must never change results). The result is
+    localCheckpointed so the scratch tables can be dropped immediately;
+    uuid-suffixed names keep reruns collision-free (events.py:553
+    discipline).
+    """
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    ot, lt = f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"
+    try:
+        (
+            _t(spark, sf_dir, "orders")
+            .write.bucketBy(Q3_INGEST_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(ot)
+        )
+        (
+            _t(spark, sf_dir, "lineitem")
+            .write.bucketBy(Q3_INGEST_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(lt)
+        )
+        cust = _t(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        return _q3_over_tables(spark, lt, ot, cust).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+
+
 def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: revenue per nation where customer and supplier share it.
 
@@ -252,6 +320,7 @@ GROUP BY 1
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
+    "q3_bucketed_ingest": q3_bucketed_ingest,
     "q5_supplier_volume": q5_supplier_volume,
     "q4_order_priority": q4_order_priority,
     "top_customers_per_nation": top_customers_per_nation,
@@ -261,6 +330,7 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
+    "q3_bucketed_ingest": Q3_SQL,
     "q5_supplier_volume": Q5_SQL,
     "q4_order_priority": Q4_SQL,
     "top_customers_per_nation": TOP_CUSTOMERS_SQL,

@@ -72,3 +72,49 @@ def test_bucketed_join_results_match_unbucketed(spark, bucketed_tables):
         .count()
     )
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_q3_bucketed_ingest_join_has_no_fact_shuffle(spark, bucketed_tables):
+    """The registry entry's join shape over bucket-ingested tables: no
+    Exchange may touch either fact scan (the bucketed SMJ contract), only
+    the broadcast of the filtered customer dim and the final top-k."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_simple_go_spark.operators.relational import _q3_over_tables
+
+    ot, lt = bucketed_tables
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _q3_over_tables(spark, lt, ot, cust)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # the only allowed exchanges: the (forced non-broadcast) customer
+        # join and the final aggregation — never a re-shuffle of the
+        # pre-bucketed fact tables directly above their scans
+        scans = [l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l]
+        assert scans, plan[:500]
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning(l_orderkey" in line:
+                raise AssertionError(f"lineitem re-shuffled: {line.strip()[:120]}")
+            if "Exchange hashpartitioning(o_orderkey" in line:
+                raise AssertionError(f"orders re-shuffled: {line.strip()[:120]}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q3_bucketed_ingest_matches_plain_q3(spark):
+    """End-to-end registry entry: bucket-ingest + join must produce
+    exactly q3_shipping_priority's rows."""
+    from mapreduce_simple_go_spark.operators.relational import (
+        q3_bucketed_ingest,
+        q3_shipping_priority,
+    )
+
+    got = sorted(map(tuple, q3_bucketed_ingest(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, q3_shipping_priority(spark, SF_DIR).collect()))
+    assert got == want and len(want) > 0

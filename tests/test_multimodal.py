@@ -179,3 +179,32 @@ def test_real_image_codec_if_available(spark):
     )
     rows = extract_features(media, decoders={"image/png": decode_png}).collect()
     assert rows[0].n_bytes == 3  # 1x1 RGB = 3 raw bytes
+
+
+def test_wav_roundtrip_is_exact():
+    """wave_encode -> wave_decoder must return the original sample bytes
+    for arbitrary payloads (including empty) — the codec really parses the
+    RIFF container it wrote."""
+    from mapreduce_simple_go_spark.operators.multimodal import (
+        wave_decoder,
+        wave_encode,
+    )
+
+    for payload in [b"", b"\x00", b"hello world", bytes(range(256)) * 7]:
+        wav = wave_encode(payload)
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        assert len(wav) > len(payload)  # a real container, not identity
+        assert wave_decoder(wav) == payload
+
+
+def test_audio_wav_entry_matches_fake_codec_entry(spark):
+    """The real-WAV registry entry must produce exactly the fake-codec
+    entry's stats (same underlying samples, real container in between)."""
+    from mapreduce_simple_go_spark.operators.multimodal import (
+        multimodal_audio_stats,
+        multimodal_audio_wav,
+    )
+
+    want = sorted(map(tuple, multimodal_audio_stats(spark, SF_DIR).collect()))
+    got = sorted(map(tuple, multimodal_audio_wav(spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
