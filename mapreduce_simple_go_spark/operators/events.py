@@ -944,13 +944,42 @@ FROM events
 GROUP BY user_id
 """
 
-# NOT registered in QUERIES/ORACLES: Spark 4's transformWithState driver
-# worker requires the google.protobuf Python package, absent from this
-# container (ImportError at StreamingPythonRunner init). The operator and
-# its convergence test are gated on that import instead — the same
-# dependency-seam discipline as the multimodal codec stub; registering it
-# would make the driver's gate red for an environment reason, not a
-# correctness one. See tests/test_streaming.py::test_tws_totals_converge.
+# RUNTIME-GATED registration: Spark 4's transformWithState driver worker
+# requires the google.protobuf Python package (ImportError at
+# StreamingPythonRunner init when absent — no network in this container to
+# install it, and the runtime is ~10k LoC of generated-message machinery,
+# not something to vendor by hand). The registration below activates the
+# moment the import succeeds, so in any protobuf-equipped deployment the
+# operator is a first-class registry entry with the plain batch GROUP BY
+# oracle; in this container it stays out of the registry (a red driver row
+# for an environment reason would be noise, not signal). The operator
+# itself and its convergence test are likewise gated — see
+# tests/test_streaming.py::test_tws_totals_converge and
+# tests/test_streaming.py::test_tws_registration_gate.
+
+
+def tws_available() -> bool:
+    """True iff the transformWithStateInPandas worker's hard dependency
+    (google.protobuf) is importable in this interpreter."""
+    import importlib.util
+
+    try:
+        # find_spec imports the parent package, so a missing `google`
+        # namespace raises instead of returning None
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def register_tws(queries: dict, oracles: dict, available: bool | None = None) -> bool:
+    """Register stream_user_totals_tws into the given registries iff the
+    protobuf dependency is present (``available`` overrides detection for
+    tests). Returns whether registration happened."""
+    ok = tws_available() if available is None else available
+    if ok:
+        queries["stream_user_totals_tws"] = stream_user_totals_tws
+        oracles["stream_user_totals_tws"] = STREAM_TWS_SQL
+    return ok
 
 
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1248,3 +1277,7 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["stream_session_window_native"] = stream_session_window_native
 ORACLES["stream_session_window_native"] = SESSION_WINDOW_NATIVE_SQL
+
+# transformWithStateInPandas entry — registers only where its protobuf
+# dependency exists (see register_tws above).
+register_tws(QUERIES, ORACLES)

@@ -690,3 +690,23 @@ def test_native_session_window_append_withholds_open_sessions(spark, events_src)
     # exactly the watermark-open sessions are withheld
     assert withheld == {k for k in map(key, complete) if k[2] > watermark}
     assert len(withheld) > 0
+
+
+def test_tws_registration_gate():
+    """stream_user_totals_tws registers exactly when the protobuf worker
+    dependency is importable: forced-available registration lands both the
+    query and its oracle; forced-unavailable leaves the dicts untouched;
+    the live registry agrees with live detection."""
+    from mapreduce_simple_go_spark.operators import all_queries
+    from mapreduce_simple_go_spark.operators.events import (
+        register_tws,
+        tws_available,
+    )
+
+    q, o = {}, {}
+    assert register_tws(q, o, available=True)
+    assert set(q) == set(o) == {"stream_user_totals_tws"}
+    q2, o2 = {}, {}
+    assert not register_tws(q2, o2, available=False)
+    assert not q2 and not o2
+    assert ("stream_user_totals_tws" in all_queries()) == tws_available()
