@@ -40,66 +40,63 @@ def _modules():
 # current round — a self-sweep is not an independent verdict. Names rotate
 # out only once a green row exists for the code at HEAD.
 _WINDOW_PRIORITY = [
-    # new in round 5 — no driver verdict yet
-    "session_window_native",
-    "stream_session_window_native",
-    "stream_click_purchase_join",
-    "anomaly_zscore",
-    "ewma_user_value",
-    "line_dedup_rewrite",
-    "domain_mix_weights",
-    "data_profile_orders",
-    "pareto_orders",
-    "dedup_clusters_distributed",
-    "inverted_index_capped",
-    "per_file_metrics_chunked",
-    "stream_hourly_counts",
-    "csv_roundtrip",
-    "stream_dedup_counts",
-    "schema_evolution_roundtrip",
-    "heavy_hitters_cms",
-    "bigram_lm",
-    "scd2_user_state",
-    "bloom_decontaminate",
-    "word_triangles",
-    "stream_enriched_counts",
-    "join_key_skew",
-    "dedup_keep_best",
-    "props_variant_histogram",
-    "events_hourly_gapfill",
-    "events_metrics_unpivot",
-    "lsh_band_occupancy",
-    "partitioned_prune_roundtrip",
-    "global_rank_orders",
-    "stream_sliding_counts",
-    "weighted_sample_docs",
-    "lm_perplexity_filter",
-    # code changed in round 5 (multi-file drain param; uuid view hygiene)
-    "kv_stream_final_state",
-    "events_rollup_multigrain",
-    # every query that loads events goes through sources.load_events /
-    # streaming.stream_events, whose timestamp normalization changed in
-    # round 5 (session TZ pinned to UTC) — re-verify the whole family
-    "events_hourly",
-    "sessionization",
-    "top_event_values",
-    "events_sliding",
-    "events_props_json",
-    "user_event_pivot",
-    "purchase_within_hour_of_click",
-    "funnel_signup_click_purchase",
-    "retention_cohorts",
-    "stream_sessions_gap_closed",
-    "asof_last_purchase",
-    "event_value_delta",
-    "kv_get_visible",
-    "kv_final_state",
-    "kv_final_state_dedup",
-    # kv_shard_distribution is deliberately NOT here (window capacity is 50
-    # and this list must fit): its inputs are event_id/user_id/event_type
-    # only — kv_ops never consumes ts, so the round-5 timestamp
-    # normalization change cannot affect it, and it holds green driver rows
-    # from earlier rounds for unchanged code.
+    # --- new or code-changed in round 6 — need a driver verdict at HEAD
+    "dedup_minhash_lsh_salted",     # new: occupancy-capped LSH
+    "ann_ivf_topk",                 # changed: nprobe parameter added
+    "ann_ivf_topk_multiprobe",      # new: wide-probe point
+    "q3_bucketed_ingest",           # new: bucket-ingested fact join
+    "multimodal_audio_wav",         # new: real WAV codec path
+    "multimodal_audio_stats",       # changed: refactored onto _audio_stats_over
+    "data_profile_orders",          # changed: empty-table null-count coalesce
+    # --- stalest standing verdicts: the whole last-green-in-round-2 block
+    # (unchanged code, green r5 self-sweeps at sf0.01/sf0.1/sf1; rotating
+    # them in refreshes the independent driver evidence)
+    "kv_shard_distribution",
+    "dedup_exact",
+    "dedup_clusters",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+    "embedding_norm_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q4_order_priority",
+    "top_customers_per_nation",
+    "revenue_by_month",
+    "q6_forecast_revenue",
+    "rollup_order_revenue",
+    "set_ops_customers",
+    "distinct_parts_per_supplier",
+    "cube_order_stats",
+    "median_order_by_segment",
+    "customers_never_ordered",
+    "parts_above_brand_avg",
+    "customer_balance_quartiles",
+    "order_price_histogram",
+    "rolling_7day_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_bracket_revenue",
+    "supplier_balance_dist",
+    "grouping_sets_revenue",
+    "sketch_distinct_accuracy",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q22_global_sales_opportunity",
+    "salted_segment_revenue",
+    "sketch_percentile_accuracy",
+    # --- oldest of the last-green-in-round-3 block (remaining r3 + the r4
+    # block rotate in next round; every name above/below retains its prior
+    # green driver row either way)
+    "inverted_index",
+    "per_file_metrics",
+    "count_per_key",
+    "doc_chunks",
+    "inverted_index_positional",
+    "chunk_dedup",
+    "dedup_incremental",
+    "fuzzy_name_matches",
 ]
 assert len(_WINDOW_PRIORITY) <= 50, len(_WINDOW_PRIORITY)
 
