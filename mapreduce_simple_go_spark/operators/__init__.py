@@ -48,6 +48,14 @@ _WINDOW_PRIORITY = [
     "multimodal_audio_wav",         # new: real WAV codec path
     "multimodal_audio_stats",       # changed: refactored onto _audio_stats_over
     "data_profile_orders",          # changed: empty-table null-count coalesce
+    # dedup_minhash_lsh's pair-scoring tail was factored into
+    # _lsh_pair_scores (shared with the salted form; oracle SQL strings
+    # verified byte-identical pre/post) — it and every entry composing it
+    # re-enter per the changed-code policy
+    "dedup_minhash_lsh",
+    "dedup_clusters_distributed",
+    "dedup_keep_best",
+    "training_corpus_pipeline",
     # --- stalest standing verdicts: the whole last-green-in-round-2 block
     # (unchanged code, green r5 self-sweeps at sf0.01/sf0.1/sf1; rotating
     # them in refreshes the independent driver evidence)
@@ -93,10 +101,6 @@ _WINDOW_PRIORITY = [
     "per_file_metrics",
     "count_per_key",
     "doc_chunks",
-    "inverted_index_positional",
-    "chunk_dedup",
-    "dedup_incremental",
-    "fuzzy_name_matches",
 ]
 assert len(_WINDOW_PRIORITY) <= 50, len(_WINDOW_PRIORITY)
 

@@ -167,27 +167,19 @@ def _lsh_bands(wide: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash-LSH.
+def _lsh_pair_scores(index: DataFrame, join_cols: list[str]) -> DataFrame:
+    """Candidate self-join on ``join_cols`` + Jaccard-estimate scoring —
+    the tail shared by the unsalted ((band, sig)) and salted
+    ((band, sig, chunk)) LSH operators. The full signature rides the join
+    as an array column, so the estimate is a zip_with over the matched
+    pair — no join back to a signature table."""
+    import functools
+    import operator as op
 
-    Bands of 4 rows: docs sharing any band signature become candidates
-    (bucket equi-join on the band digest — no cross join anywhere), then the
-    estimated Jaccard (fraction of equal minhashes) filters at 0.5. Bucket
-    skew (a degenerate band shared by many docs) is the known hazard at
-    scale; AQE skew-join handles moderate cases and the band digest keeps
-    join keys small.
-
-    Plan economy: the whole operator is ONE aggregation + ONE self-join.
-    Band digests are flat expressions over the wide signature row (no
-    second groupBy), and the full signature rides through the band join as
-    an array column, so the Jaccard estimate is a zip_with over the matched
-    pair — no join back to a signature table. (The former long-format
-    formulation cost 2 extra shuffles re-joining signatures onto
-    candidates; band-sig strings are byte-identical here, so the oracle is
-    unchanged.)
-    """
-    bands = _lsh_bands(minhash_wide(_docs(spark, sf_dir)))
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = index.alias("a"), index.alias("b")
+    cond = functools.reduce(
+        op.and_, [F.col(f"a.{c}") == F.col(f"b.{c}") for c in join_cols]
+    )
     n_eq = F.size(
         F.filter(
             F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
@@ -195,7 +187,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        a.join(b, cond)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -211,10 +203,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Bands of 4 rows: docs sharing any band signature become candidates
+    (bucket equi-join on the band digest — no cross join anywhere), then the
+    estimated Jaccard (fraction of equal minhashes) filters at 0.5. Bucket
+    skew (a degenerate band shared by many docs) is the known hazard at
+    scale; AQE skew-join handles moderate cases, the band digest keeps
+    join keys small, and :func:`dedup_minhash_lsh_salted` is the
+    structurally-capped form for pathological corpora.
+
+    Plan economy: the whole operator is ONE aggregation + ONE self-join
+    (see _lsh_pair_scores — the former long-format formulation cost 2
+    extra shuffles re-joining signatures onto candidates).
+    """
+    return _lsh_pair_scores(
+        _lsh_bands(minhash_wide(_docs(spark, sf_dir))), ["band", "sig"]
+    )
+
+
 _DUCK_COEFFS = ", ".join(f"({p}, {a}, {b})" for p, (a, b) in enumerate(PERM_COEFFS))
 
-DEDUP_MINHASH_SQL = f"""
-WITH sh AS ({DUCK_DOC_SHINGLES}),
+# Shared oracle fragments: the shingle->minhash->bands prefix and the
+# candidate-scoring tail are identical between the unsalted and salted
+# forms; only the `cand` CTE (the join keys) differs. Composition keeps
+# the assembled strings byte-identical to the pre-refactor literals.
+_DUCK_LSH_PREFIX = f"""WITH sh AS ({DUCK_DOC_SHINGLES}),
 hashed AS (SELECT doc_id, {duckdb_hash48("shingle")} AS h FROM sh),
 mh AS (
   SELECT doc_id, perm, MIN((a * h + b) & {(1 << 48) - 1}) AS minhash
@@ -225,19 +240,24 @@ bands AS (
   SELECT doc_id, perm // {NUM_PERM // LSH_BANDS} AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS sig
   FROM mh GROUP BY doc_id, band
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-  WHERE a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
+)"""
+
+_DUCK_LSH_SCORE = f"""SELECT doc_a, doc_b,
        SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / {float(NUM_PERM)} AS est_jaccard
 FROM cand
 JOIN mh ma ON ma.doc_id = doc_a
 JOIN mh mb ON mb.doc_id = doc_b AND ma.perm = mb.perm
 GROUP BY doc_a, doc_b
-HAVING est_jaccard >= 0.5
+HAVING est_jaccard >= 0.5"""
+
+DEDUP_MINHASH_SQL = f"""
+{_DUCK_LSH_PREFIX},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+)
+{_DUCK_LSH_SCORE}
 """
 
 
@@ -296,49 +316,14 @@ def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap); within-chunk pairs carry the identical est_jaccard since the
     full signature rides the join unchanged.
     """
-    keyed = lsh_salted_keyed(_lsh_bands(minhash_wide(_docs(spark, sf_dir))))
-    a, b = keyed.alias("a"), keyed.alias("b")
-    n_eq = F.size(
-        F.filter(
-            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
-            lambda v: v,
-        )
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.chunk") == F.col("b.chunk")),
-        )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig_full").alias("sa"),
-            F.col("b.sig_full").alias("sb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .select(
-            "doc_a", "doc_b", (n_eq / F.lit(float(NUM_PERM))).alias("est_jaccard")
-        )
-        .filter(F.col("est_jaccard") >= 0.5)
+    return _lsh_pair_scores(
+        lsh_salted_keyed(_lsh_bands(minhash_wide(_docs(spark, sf_dir)))),
+        ["band", "sig", "chunk"],
     )
 
 
 DEDUP_MINHASH_SALTED_SQL = f"""
-WITH sh AS ({DUCK_DOC_SHINGLES}),
-hashed AS (SELECT doc_id, {duckdb_hash48("shingle")} AS h FROM sh),
-mh AS (
-  SELECT doc_id, perm, MIN((a * h + b) & {(1 << 48) - 1}) AS minhash
-  FROM hashed, (VALUES {_DUCK_COEFFS}) AS coeffs(perm, a, b)
-  GROUP BY doc_id, perm
-),
-bands AS (
-  SELECT doc_id, perm // {NUM_PERM // LSH_BANDS} AS band,
-         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS sig
-  FROM mh GROUP BY doc_id, band
-),
+{_DUCK_LSH_PREFIX},
 ranked AS (
   SELECT doc_id, band, sig,
          ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY doc_id) - 1 AS rn
@@ -356,13 +341,7 @@ cand AS (
     ON a.band = b.band AND a.sig = b.sig AND a.chunk = b.chunk
   WHERE a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b,
-       SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / {float(NUM_PERM)} AS est_jaccard
-FROM cand
-JOIN mh ma ON ma.doc_id = doc_a
-JOIN mh mb ON mb.doc_id = doc_b AND ma.perm = mb.perm
-GROUP BY doc_a, doc_b
-HAVING est_jaccard >= 0.5
+{_DUCK_LSH_SCORE}
 """
 
 

@@ -195,19 +195,23 @@ def assign_cells(
                 acc += A[:, i : i + 1] * CM[:, i][None, :]
                 na += A[:, i] * A[:, i]
             cos = acc / (np.sqrt(na)[:, None] * cn[None, :])
-            if nprobe == 1:
+            # clamp to the centroid count: probing wider than the cell
+            # structure just means probing every cell (the oracle's
+            # `crank <= nprobe` yields the same min(nprobe, n_cells) rows)
+            k = min(nprobe, len(cids))
+            if k == 1:
                 best = cos.argmax(axis=1)  # first max == lowest cent_id
                 yield pd.DataFrame(
                     {"vec_id": pdf["vec_id"], "crank": 1, "cell": cids[best]}
                 )
             else:
                 # stable sort keeps cent_id order among raw-equal cosines
-                order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+                order = np.argsort(-cos, axis=1, kind="stable")[:, :k]
                 n = len(A)
                 yield pd.DataFrame(
                     {
-                        "vec_id": np.repeat(np.asarray(pdf["vec_id"]), nprobe),
-                        "crank": np.tile(np.arange(1, nprobe + 1), n),
+                        "vec_id": np.repeat(np.asarray(pdf["vec_id"]), k),
+                        "crank": np.tile(np.arange(1, k + 1), n),
                         "cell": cids[order].reshape(-1),
                     }
                 )

@@ -40,7 +40,10 @@ def topk_sets(df) -> dict[int, set[int]]:
 def recall(spark, sf_dir: str, nprobe: int, exact: dict[int, set[int]]) -> float:
     approx = topk_sets(ann_ivf_topk(spark, sf_dir, nprobe=nprobe))
     num = sum(len(approx.get(q, set()) & hits) for q, hits in exact.items())
-    return num / (len(exact) * TOP_K)
+    # denominator = actual exact-hit count, not len(exact)*TOP_K: a query
+    # whose exact top-k has fewer than TOP_K rows (tiny tables) would
+    # otherwise bias recall low even on a perfect match
+    return num / sum(len(hits) for hits in exact.values())
 
 
 def main() -> None:

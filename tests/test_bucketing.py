@@ -93,9 +93,12 @@ def test_q3_bucketed_ingest_join_has_no_fact_shuffle(spark, bucketed_tables):
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-        # the only allowed exchanges: the (forced non-broadcast) customer
-        # join and the final aggregation — never a re-shuffle of the
-        # pre-bucketed fact tables directly above their scans
+        # the customer join stays BROADCAST regardless of the threshold
+        # (the explicit broadcast() hint in _q3_over_tables overrides it);
+        # the conf's real job is stopping AQE from broadcasting a FACT
+        # side, which would make the no-fact-Exchange assertions vacuous.
+        # allowed exchanges: only the final aggregation — never a
+        # re-shuffle of the pre-bucketed fact tables above their scans
         scans = [l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l]
         assert scans, plan[:500]
         for line in plan.splitlines():

@@ -195,3 +195,19 @@ def test_kmeans_matches_numpy_reference(spark):
     want = dict(zip(ids, a.tolist()))
     assert got == want
     assert set(got.values()) <= set(range(KMEANS_K))
+
+
+def test_ivf_nprobe_wider_than_cells_probes_all(spark):
+    """nprobe > n_cells must degrade to probing every cell (== exact
+    search restricted to assigned cells), not crash: a 16-vector table has
+    ceil(sqrt(16)) = 4 cells, far fewer than nprobe=12."""
+    from mapreduce_simple_go_spark.operators.similarity import assign_cells
+
+    rng = [(int(i), [float((i * 7 + d * 3) % 13) for d in range(8)]) for i in range(16)]
+    base = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    rows = assign_cells(spark, base, nprobe=12).collect()
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, []).append(r.crank)
+    # every vector probes exactly n_cells = 4 cells with ranks 1..4
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per_vec.values()), per_vec
