@@ -315,6 +315,12 @@ def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the unsalted operator's pairs (equal whenever no bucket exceeds the
     cap); within-chunk pairs carry the identical est_jaccard since the
     full signature rides the join unchanged.
+
+    Reference analog: the same no-partition-may-grow-unbounded reasoning
+    as shard balance in /root/reference/src/shardctrler/common.go:1-20
+    (shards spread "as evenly as possible" across groups) and the fixed
+    ihash(key) %% NReduce spread of /root/reference/src/mr/worker.go:23-26
+    — here applied to a join key instead of a task bucket.
     """
     return _lsh_pair_scores(
         lsh_salted_keyed(_lsh_bands(minhash_wide(_docs(spark, sf_dir)))),

@@ -151,6 +151,12 @@ def q3_bucketed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed so the scratch tables can be dropped immediately;
     uuid-suffixed names keep reruns collision-free (events.py:553
     discipline).
+
+    Reference analog: the map side already writes intermediate KV into
+    ihash(key) %% NReduce buckets so each reducer reads exactly its bucket
+    (/root/reference/src/mr/worker.go:23-26,:93) — bucketed ingest is
+    that same shuffle-once-at-write idea promoted to a durable table
+    layout every later join reuses.
     """
     import uuid
 
