@@ -1,0 +1,113 @@
+"""Opportunistic discovery of a usable ``google.protobuf`` runtime.
+
+Spark 4's ``transformWithStateInPandas`` imports ``google.protobuf`` inside
+the Python workers that host the StatefulProcessor (via
+``pyspark.sql.streaming.stateful_processor_api_client`` ->
+``StateMessage_pb2``). The package isn't installed in every deployment and
+this container has no network for ``pip``; however, hosts frequently carry a
+pure-Python protobuf runtime bundled inside other *public* tooling — the
+google-cloud-sdk CLI ships one under its app-engine platform directory.
+
+:func:`ensure_protobuf` first tries the normal import, then probes a short
+list of conventional bundle locations. On success it appends the bundle to
+``sys.path`` and enables protobuf's own documented escape hatch for
+minor-version gencode/runtime skew (``TEMPORARILY_DISABLE_PROTOBUF_
+VERSION_CHECK`` — see ``google/protobuf/runtime_version.py`` upstream):
+pyspark 4.1.2's checked-in gencode targets 6.33.0 while the bundled runtime
+is 6.32.0; the wire format is identical across that skew and the roundtrip
+is verified by tests/test_streaming.py before the operator registers.
+
+:func:`spark_worker_env` propagates the same two settings into
+``sc.environment`` so Spark-spawned Python processes resolve the runtime
+even when the JVM was launched before discovery ran.
+
+Reference analog: the Go reference declares its KV fold semantics in
+``src/models/kv.go:40-54``; the tws operator is the streaming twin of that
+fold, and this module exists solely so its hard dependency can be satisfied
+without vendoring ~30k lines of generated-message machinery into the repo.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+
+# Conventional locations where public host tooling bundles a pure-Python
+# google.protobuf runtime. Probed ONLY after the normal import fails.
+_FALLBACK_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+_VERSION_FLAG = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+
+# Set by ensure_protobuf when a fallback bundle (not a real install) is in
+# use; spark_worker_env only needs to act in that case.
+_active_dir: str | None = None
+
+
+def _importable() -> bool:
+    try:
+        spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:
+        # find_spec imports the parent package; a missing `google`
+        # namespace raises instead of returning None
+        return False
+    # Spark workers carry spark-core_*.jar on PYTHONPATH, and that jar
+    # ships google/protobuf/*.proto data files — zipimport serves them as
+    # an EMPTY NAMESPACE package (spec.origin is None), which satisfies
+    # find_spec but breaks `from google.protobuf import descriptor` with
+    # "unknown location". Only a regular package (real __init__.py) counts.
+    return spec is not None and spec.origin is not None
+
+
+def active_fallback_dir() -> str | None:
+    """The bundle directory in use, or None (real install / not found)."""
+    return _active_dir
+
+
+def ensure_protobuf() -> bool:
+    """Make ``import google.protobuf`` work in this process if possible.
+
+    Returns True iff the import now succeeds (real install or discovered
+    bundle). Idempotent; never raises on a missing runtime.
+    """
+    global _active_dir
+    if _importable():
+        return True
+    for d in _FALLBACK_DIRS:
+        if not os.path.isdir(os.path.join(d, "google", "protobuf")):
+            continue
+        sys.path.append(d)
+        importlib.invalidate_caches()
+        if _importable():
+            _active_dir = d
+            # Gencode may be one minor version ahead of the bundled
+            # runtime; protobuf's own escape hatch accepts the skew. Set
+            # before any gencode module (StateMessage_pb2) is imported.
+            os.environ.setdefault(_VERSION_FLAG, "true")
+            os.environ["PYTHONPATH"] = d + os.pathsep + os.environ.get(
+                "PYTHONPATH", ""
+            )
+            return True
+        sys.path.remove(d)
+        importlib.invalidate_caches()
+    return False
+
+
+def spark_worker_env(spark) -> None:
+    """Propagate the discovered bundle to Spark-spawned Python processes.
+
+    Python workers receive ``sc.environment`` on top of the JVM's own env;
+    setting both here and in ``os.environ`` (ensure_protobuf) makes the
+    result independent of whether the SparkSession was created before or
+    after discovery. No-op when protobuf is genuinely installed.
+    """
+    if _active_dir is None:
+        return
+    env = spark.sparkContext.environment
+    env[_VERSION_FLAG] = "true"
+    prev = env.get("PYTHONPATH", os.environ.get("PYTHONPATH", ""))
+    parts = [p for p in prev.split(os.pathsep) if p]
+    if _active_dir not in parts:
+        env["PYTHONPATH"] = os.pathsep.join([_active_dir, *parts])

@@ -899,8 +899,29 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from .._protobuf import spark_worker_env
     from ..streaming import run_available_now, user_totals_tws
 
+    # When the protobuf runtime is a discovered host bundle, export it into
+    # sc.environment BEFORE the UDF below is wrapped, so executor-side
+    # workers inherit it; the driver-side pre-init worker is covered by the
+    # pickle-time repair hook inside user_totals_tws (StreamingPythonRunner
+    # drops envVars' PYTHONPATH — see _protobuf.py).
+    spark_worker_env(spark)
+    # transformWithState keeps each named state variable in its own column
+    # family — supported by the RocksDB provider only (the HDFS-backed
+    # default raises multipleColumnFamiliesNotSupported). Scope the
+    # provider switch to this query and restore the session's previous
+    # setting after the drain.
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        prev_provider = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prev_provider = None
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
     ev = load_events(spark, sf_dir).select("ts", "user_id", "event_id")
     root = tempfile.mkdtemp(prefix="ev_tws_q_")
     try:
@@ -934,6 +955,10 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
         return out
     finally:
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev_provider)
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -947,28 +972,31 @@ GROUP BY user_id
 # RUNTIME-GATED registration: Spark 4's transformWithState driver worker
 # requires the google.protobuf Python package (ImportError at
 # StreamingPythonRunner init when absent — no network in this container to
-# install it, and the runtime is ~10k LoC of generated-message machinery,
-# not something to vendor by hand). The registration below activates the
-# moment the import succeeds, so in any protobuf-equipped deployment the
-# operator is a first-class registry entry with the plain batch GROUP BY
-# oracle; in this container it stays out of the registry (a red driver row
-# for an environment reason would be noise, not signal). The operator
-# itself and its convergence test are likewise gated — see
-# tests/test_streaming.py::test_tws_totals_converge and
+# pip-install it, and the runtime is ~10k LoC of generated-message
+# machinery, not something to vendor into the repo). tws_available() now
+# goes through _protobuf.ensure_protobuf(), which falls back to a
+# pure-Python protobuf runtime bundled by public host tooling
+# (google-cloud-sdk ships one); where neither a real install nor a bundle
+# exists the entry stays out of the registry (a red driver row for an
+# environment reason would be noise, not signal). On a multi-node cluster
+# the bundle probe only helps hosts that carry the same tooling — there,
+# install protobuf on the executors like any other Python dep. The
+# operator and its convergence test are gated the same way — see
+# tests/test_streaming.py::test_tws_totals_converge_to_batch and
 # tests/test_streaming.py::test_tws_registration_gate.
 
 
 def tws_available() -> bool:
     """True iff the transformWithStateInPandas worker's hard dependency
-    (google.protobuf) is importable in this interpreter."""
-    import importlib.util
+    (google.protobuf) is importable in this interpreter — either a real
+    install, or a pure-Python runtime bundled by public host tooling that
+    :mod:`.._protobuf` discovers and wires in (sys.path + protobuf's own
+    documented version-skew escape hatch). Discovery also exports the
+    settings through os.environ, so a SparkSession created after this call
+    passes them to every Spark-spawned Python process."""
+    from .._protobuf import ensure_protobuf
 
-    try:
-        # find_spec imports the parent package, so a missing `google`
-        # namespace raises instead of returning None
-        return importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
-        return False
+    return ensure_protobuf()
 
 
 def register_tws(queries: dict, oracles: dict, available: bool | None = None) -> bool:

@@ -160,6 +160,15 @@ def q3_bucketed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
+    # Startup sweep: a driver crash between saveAsTable and the finally-
+    # drop leaves orphaned uuid-suffixed scratch tables behind; drop any
+    # leftovers from previous invocations before creating this run's pair
+    # (cheap catalog listing — the names are namespaced so nothing else
+    # matches).
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith(("orders_bkt_", "lineitem_bkt_")):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+
     suffix = uuid.uuid4().hex[:8]
     ot, lt = f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"
     try:

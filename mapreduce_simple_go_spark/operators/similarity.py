@@ -945,7 +945,7 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     BoundReference instead, and CollapseProject leaves non-cheap multiply-
     referenced projections alone: 0.12-0.32 s, same bit-exact arithmetic
     (operation order unchanged). Same family of fix as word_pagerank's
-    re-tokenization (commit f3d6571); see .claude/skills/verify gotchas.
+    re-tokenization (commit f3d6571).
     """
     e = _emb(spark, sf_dir)
     lv = F.lit(float(QUANT_LEVELS))

@@ -514,7 +514,58 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
+    from .._protobuf import _FALLBACK_DIRS, _VERSION_FLAG
+
+    fallback_dirs = tuple(_FALLBACK_DIRS)
+    version_flag = str(_VERSION_FLAG)
+
+    def _repair_protobuf() -> None:
+        # Self-contained (closure-pickled by value) so it runs inside BARE
+        # Spark worker processes: StreamingPythonRunner's driver worker
+        # drops the PYTHONPATH entry sc.environment provides (only
+        # sparkPythonPath survives — observed on Spark 4.1.2), so a
+        # discovered protobuf bundle must be re-wired from WITHIN the
+        # worker, before stateful_processor_api_client lazily imports
+        # StateMessage_pb2. Also note spark-core's jar serves
+        # google/protobuf as an empty namespace package, so a plain
+        # find_spec succeeds spuriously — require a real origin.
+        import importlib
+        import os
+        import sys
+
+        def real_pkg() -> bool:
+            try:
+                spec = importlib.util.find_spec("google.protobuf")
+            except ModuleNotFoundError:
+                return False
+            return spec is not None and spec.origin is not None
+
+        if real_pkg():
+            os.environ.setdefault(version_flag, "true")
+            return
+        for d in fallback_dirs:
+            if not os.path.isdir(os.path.join(d, "google", "protobuf")):
+                continue
+            sys.path.append(d)
+            importlib.invalidate_caches()
+            if real_pkg():
+                os.environ.setdefault(version_flag, "true")
+                return
+            sys.path.remove(d)
+            importlib.invalidate_caches()
+
+    def _rebuild_totals():
+        _repair_protobuf()
+        return Totals.__new__(Totals)
+
     class Totals(StatefulProcessor):
+        def __reduce__(self):
+            # Unpickling happens in the worker at read_command time —
+            # BEFORE the api client's lazy StateMessage_pb2 import — so
+            # routing reconstruction through _repair_protobuf makes the
+            # protobuf bundle visible exactly where the hard dependency
+            # bites, independent of env propagation order.
+            return (_rebuild_totals, ())
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
                 "totals", "n_events LONG, sum_event_ids LONG, version LONG"

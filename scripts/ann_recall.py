@@ -43,7 +43,11 @@ def recall(spark, sf_dir: str, nprobe: int, exact: dict[int, set[int]]) -> float
     # denominator = actual exact-hit count, not len(exact)*TOP_K: a query
     # whose exact top-k has fewer than TOP_K rows (tiny tables) would
     # otherwise bias recall low even on a perfect match
-    return num / sum(len(hits) for hits in exact.values())
+    denom = sum(len(hits) for hits in exact.values())
+    if denom == 0:
+        raise SystemExit(f"no queries/hits in fixture (nprobe={nprobe}); "
+                         "embeddings table is empty or has no query rows")
+    return num / denom
 
 
 def main() -> None:

@@ -46,7 +46,10 @@ N_PARTS = 8
 N_ROWS = 200
 STRAGGLE_S = 25.0
 POLL_S = 0.5
-POLL_BUDGET_S = 20.0
+# Poll while the job is alive, up to 3x the injected stall: executor
+# launch on local-cluster can eat 5-10 s before the straggler even
+# starts, so a fixed 20 s wall budget was timing-sensitive under load.
+POLL_BUDGET_S = 3 * STRAGGLE_S
 
 
 def straggler_partition_sums(idx: int, it):
@@ -110,7 +113,11 @@ def main() -> int:
         # must be MARKED speculatable while it is still running
         marked = 0
         pool = sc._jsc.sc().taskScheduler().rootPool()
-        while time.monotonic() - t0 < POLL_BUDGET_S and not marked:
+        while (
+            t.is_alive()
+            and not marked
+            and time.monotonic() - t0 < POLL_BUDGET_S
+        ):
             time.sleep(POLL_S)
             it = pool.schedulableQueue().iterator()
             while it.hasNext():

@@ -1,0 +1,89 @@
+"""Tests for the google.protobuf discovery shim (_protobuf.py).
+
+The shim exists so transformWithStateInPandas (Spark 4 StatefulProcessor,
+the streaming twin of the reference KV fold declared in
+/root/reference/src/models/kv.go:40-54) can run where protobuf is not
+pip-installed but a pure-Python runtime is bundled by public host tooling.
+Subprocess isolation keeps sys.path/module mutations out of the test
+runner.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(code: str, env_extra: dict | None = None) -> str:
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env.update(env_extra or {})
+    out = subprocess.run(
+        [sys.executable, "-c", textwrap.dedent(code)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    return out.stdout.strip()
+
+
+def test_importable_rejects_namespace_only_package(tmp_path):
+    """A bare google/protobuf directory pair (what spark-core's jar serves
+    via zipimport) must NOT count as an importable runtime."""
+    ns = tmp_path / "nsroot" / "google" / "protobuf"
+    ns.mkdir(parents=True)
+    out = _run(
+        f"""
+        import sys
+        sys.path.insert(0, {str(tmp_path / "nsroot")!r})
+        sys.path.insert(0, {REPO!r})
+        import importlib.util
+        spec = importlib.util.find_spec("google.protobuf")
+        assert spec is not None and spec.origin is None  # namespace-only
+        from mapreduce_simple_go_spark._protobuf import _importable
+        print(_importable())
+        """
+    )
+    assert out == "False"
+
+
+def test_ensure_protobuf_discovers_bundle_or_reports_absence():
+    """ensure_protobuf returns True iff `from google.protobuf import
+    descriptor` then works — on this host via the google-cloud-sdk bundle."""
+    out = _run(
+        f"""
+        import sys
+        sys.path.insert(0, {REPO!r})
+        from mapreduce_simple_go_spark._protobuf import ensure_protobuf
+        ok = ensure_protobuf()
+        if ok:
+            from google.protobuf import descriptor  # must be a REAL package
+            assert descriptor.__file__ is not None
+        print(ok)
+        """
+    )
+    assert out in {"True", "False"}
+
+
+def test_tws_entry_sits_in_driver_window_when_registered():
+    """Window policy: a registered entry with no green driver row must be
+    inside the 50-name head the driver checks (round-6 ADVICE item #1)."""
+    from mapreduce_simple_go_spark.operators import (
+        _WINDOW_PRIORITY,
+        all_oracles,
+        all_queries,
+        events,
+    )
+
+    names = list(all_queries())
+    assert len(_WINDOW_PRIORITY) == 50
+    assert set(names[:50]) == set(_WINDOW_PRIORITY)
+    if "stream_user_totals_tws" in events.QUERIES:
+        assert names.index("stream_user_totals_tws") < 50
+        assert "stream_user_totals_tws" in all_oracles()

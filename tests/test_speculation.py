@@ -19,9 +19,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_straggler_marked_speculatable_output_identical():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "speculation_check.py")],
