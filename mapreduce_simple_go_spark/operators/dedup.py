@@ -755,8 +755,107 @@ def _union_find_labels(pairs) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
+def _star_components(sym: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — the O(log^2 d)
+    deep-graph route min-label propagation falls back to.
+
+    Each round is two grouped self-joins over the current edge set:
+
+    - large-star: per node u with m = min(neighborhood(u) + {u}), every
+      STRICTLY LARGER neighbor v > u re-links to m — long chains fold
+      toward small ids from every node at once, which is what beats the
+      one-hop-per-iteration propagation on high-diameter graphs;
+    - small-star: per node u over its smaller-or-equal neighbors, all of
+      them plus u re-link to the minimum — flattening partial stars.
+
+    Convergence = canonical edge set stable (count + xxhash64 checksum;
+    labels at the fixpoint are exactly the star centers, so every node
+    carries ONE label and the output contract matches the min-label path:
+    (node, label = min node id of the component)). Input must be the
+    symmetric, self-loop-free edge set.
+
+    Scale: every step is groupBy(min) + one equi-join — the same shuffle
+    shape as one min-label iteration, but the round count is O(log^2 d)
+    instead of O(d). Reference analog: the reference's reduce groups
+    contiguous keys after the sort (/root/reference/src/mr/worker.go:93) —
+    each star round is that same group-and-fold applied to a shrinking
+    edge relation.
+    """
+
+    def canonical(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    edges = canonical(
+        sym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ).localCheckpoint(eager=True)
+
+    def checksum(df: DataFrame):
+        # sum in decimal(38,0): a long sum of xxhash64 values overflows
+        # (ArithmeticException under ANSI mode)
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+
+    prev = checksum(edges)
+    for _ in range(max_rounds):
+        # large-star over the symmetric view: m(u) = min(neighbors + u)
+        s = edges.select("a", "b").union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = s.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select(
+            "a", F.least(F.col("mn"), F.col("a")).alias("m")
+        )
+        large = (
+            s.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        edges = canonical(large).localCheckpoint(eager=True)
+
+        # small-star over larger->smaller edges: u and all its smaller
+        # neighbors re-link to the smallest of them
+        e = edges  # canonical already has a > b
+        mins2 = e.groupBy("a").agg(F.min("b").alias("mn"))
+        nbrs = (
+            e.join(mins2, "a")
+            .filter(F.col("b") != F.col("mn"))
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+        )
+        selfs = mins2.select("a", F.col("mn").alias("b"))
+        edges = canonical(nbrs.union(selfs)).localCheckpoint(eager=True)
+
+        cur = checksum(edges)
+        if (cur.n, cur.h) == (prev.n, prev.h):
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_rounds} rounds "
+            "— not expected for any graph (bound is O(log^2 diameter)); "
+            "raise max_rounds"
+        )
+    # fixpoint edges are stars: (node a, component-min b)
+    centers = edges.select(F.col("b").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    members = edges.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    return members.union(centers).distinct()
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, driver_threshold: int = MAX_DRIVER_EDGES
+    edges: DataFrame,
+    max_iter: int = 20,
+    driver_threshold: int = MAX_DRIVER_EDGES,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over an undirected edge list (src, dst).
 
@@ -767,15 +866,27 @@ def connected_components(
     Beyond that, distributed min-label propagation: per iteration one join
     + one aggregation; labels only ever decrease, so convergence is checked
     with a cheap sum(label) aggregate; localCheckpoint truncates iteration
-    lineage. Iterations needed = component diameter (near-dup clusters are
-    shallow). Swapping in large-star/small-star halves iterations on deep
-    graphs — same join shape.
+    lineage. Iterations needed = component diameter — near-dup clusters
+    are shallow, so min-label wins the common case; if a graph's diameter
+    exceeds ``max_iter``, ``algorithm="auto"`` falls back to
+    large-star/small-star (:func:`_star_components`, O(log^2 d) rounds)
+    instead of failing. ``algorithm="star"`` forces that route from the
+    start (also bypassing the driver tier — used by the property tests and
+    sensible when the caller KNOWS the graph is deep, e.g. chain-shaped
+    link graphs rather than near-dup cliques).
 
-    Both paths produce identical output (asserted in tests/test_sampling.py).
+    All paths produce identical output (asserted in tests/test_sampling.py
+    and tests/test_star_components.py).
     """
     # materialize the edge list ONCE — the symmetric union below would
     # otherwise re-evaluate the (expensive) upstream pair pipeline twice
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    if algorithm == "star":
+        return _star_components(
+            edges.union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        )
     if edges.count() <= driver_threshold:
         spark = edges.sparkSession
         labels = _union_find_labels(
@@ -820,14 +931,11 @@ def connected_components(
     if not converged:
         # the last pass still lowered labels: components with diameter >
         # max_iter exist, and returning now would emit WRONG cluster ids.
-        # Fail loudly — callers raise max_iter (or switch to large-star/
-        # small-star, which converges in O(log^2 d)) rather than silently
-        # training on a half-merged dedup graph.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations "
-            "(label sum still decreasing); raise max_iter for graphs with "
-            f"diameter > {max_iter}"
-        )
+        # Returning half-merged clusters is never acceptable; hand the
+        # graph to large-star/small-star, whose round count is O(log^2 d)
+        # instead of O(d) — the deep-diameter regime is exactly where it
+        # wins, so the fallback terminates where this loop could not.
+        return _star_components(sym)
     return labels
 
 

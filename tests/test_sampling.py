@@ -126,19 +126,24 @@ def test_training_pipeline_drops_near_dups_from_curated_set(spark):
         assert docs[0] == min(surviving)
 
 
-def test_connected_components_raises_on_non_convergence(spark):
-    """A component whose diameter exceeds max_iter must raise, not silently
-    return half-merged labels."""
-    import pytest as _pytest
-
+def test_connected_components_deep_chain_falls_back_to_star(spark):
+    """A component whose diameter exceeds max_iter must never return
+    half-merged labels: min-label now hands the graph to
+    large-star/small-star, so the result is CORRECT even with max_iter
+    far below the diameter (previously this case raised)."""
     from mapreduce_simple_go_spark.operators.dedup import connected_components
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "src long, dst long"
     )
-    with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2, driver_threshold=0).collect()
-    # same graph with enough iterations resolves to one component
+    got = {
+        r.node: r.label
+        for r in connected_components(
+            chain, max_iter=2, driver_threshold=0
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(10)}
+    # same graph with enough iterations resolves identically via min-label
     ok = connected_components(chain, max_iter=12, driver_threshold=0)
     assert {r.label for r in ok.collect()} == {0}
 
