@@ -384,9 +384,15 @@ def ann_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_IVF_MULTIPROBE_SQL = ann_ivf_sql(NPROBE_WIDE)
 
 
-MAX_BRUTE_ROWS = 200_000  # ~100 MB broadcast at 64-dim float64 — the same
-# order as a sane broadcast-join build side; beyond this the brute path's
-# driver collect stops being a "small side" and the IVF path takes over.
+MAX_BRUTE_ROWS = 3_500  # MEASURED brute/IVF crossover, not a memory bound:
+# scripts/ann_crossover.py (local[32], 64-dim, best-of-2, noop sink) fit
+# brute = 0.93 + 5.48e-8*n^2 against ivf = 1.04 + 1.93e-4*(n-500) from
+# n = 500/2k/20k measured points (22.9 s vs 3.9 s at n=20k; predicted
+# ~2 200 s vs measured 39.5 s at n=200k) -> curves cross at n ~= 3 600.
+# The old 200_000 value (100 MB broadcast heuristic) kept the quadratic
+# path winning its legal window on memory grounds while losing it on TIME
+# 6x over by n=20k. Crossover table in SCALE.md; boundary delegation
+# pinned in tests/test_similarity.py.
 
 
 def embedding_near_dup(
@@ -397,13 +403,16 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold).
 
-    Brute-force O(n^2/2) pair scan — correct but quadratic. The base table
-    is collected to the driver and broadcast, which is only legitimate
-    while it is genuinely the SMALL side: the ``max_brute_rows`` gate
-    enforces that, delegating oversized inputs to
+    Brute-force O(n^2/2) pair scan — correct but quadratic. The
+    ``max_brute_rows`` gate delegates oversized inputs to
     :func:`embedding_near_dup_ivf` (the cell-restricted exact-within-cell
-    scan — the 100 TB path, documented approximate across cells). The
-    fixture's embeddings top out near 0.51 cosine, hence the 0.45 default.
+    scan — the 100 TB path, documented approximate across cells); since r7
+    the default sits at the MEASURED time crossover between the two paths
+    (scripts/ann_crossover.py, table in SCALE.md), not at the broadcast
+    memory bound — the collect stayed "legal" long after the quadratic
+    scan stopped being the fastest answer. The oracle SQL mirrors the
+    gate branch-for-branch. The fixture's embeddings top out near 0.51
+    cosine, hence the 0.45 default.
     """
     import math
 
@@ -464,11 +473,40 @@ def embedding_near_dup(
     ).filter(F.col("cosine") >= threshold)
 
 
+# Oracle mirrors the Spark-side size gate: brute pairs at or below
+# MAX_BRUTE_ROWS embeddings, the IVF cell-restricted scan above it. Each
+# branch's JOIN SOURCE is emptied (not just post-filtered) by the gate
+# predicate so DuckDB never materializes the disabled branch's quadratic
+# join at scale.
 EMB_NEAR_DUP_SQL = f"""
+WITH cents AS (
+{CENTS_SQL}
+),
+gate AS (SELECT (COUNT(*) <= {MAX_BRUTE_ROWS}) AS use_brute FROM embeddings),
+bsrc AS (SELECT * FROM embeddings WHERE (SELECT use_brute FROM gate)),
+isrc AS (SELECT * FROM embeddings WHERE NOT (SELECT use_brute FROM gate)),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {duck_cosine_raw('e.embedding', 'c.c_emb')} DESC,
+                                       c.cent_id ASC) AS r
+    FROM isrc e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+cells AS (
+  SELECT a.vec_id, a.cell, e.embedding
+  FROM assign a JOIN isrc e ON e.vec_id = a.vec_id
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {duck_cosine('a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM bsrc a JOIN bsrc b ON a.vec_id < b.vec_id
 WHERE {duck_cosine('a.embedding', 'b.embedding')} >= 0.45
+UNION ALL
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       {duck_cosine('x.embedding', 'y.embedding')} AS cosine
+FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+WHERE {duck_cosine('x.embedding', 'y.embedding')} >= 0.45
 """
 
 

@@ -33,6 +33,9 @@ from mapreduce_simple_go_spark.session import get_spark  # noqa: E402
 
 PASSES = 2
 THRESHOLD = 0.45
+# measuring the quadratic path beyond this is pointless (and ~40+ min at
+# 500 K rows): fit a*n^2 through the measured points and predict instead
+BRUTE_MEASURE_CAP = int(os.environ.get("ANN_CROSSOVER_BRUTE_CAP", "120000"))
 
 
 def time_df(df) -> float:
@@ -60,38 +63,50 @@ def main() -> None:
             print(f"(skip {d}: missing)")
             continue
         n = _emb(spark, d).count()
-        brute = min(
-            time_df(
-                embedding_near_dup(spark, d, THRESHOLD, max_brute_rows=10**12)
+        if n <= BRUTE_MEASURE_CAP:
+            brute = min(
+                time_df(
+                    embedding_near_dup(
+                        spark, d, THRESHOLD, max_brute_rows=10**12
+                    )
+                )
+                for _ in range(PASSES)
             )
-            for _ in range(PASSES)
-        )
+        else:
+            brute = None
         ivf = min(
             time_df(embedding_near_dup_ivf(spark, d, THRESHOLD))
             for _ in range(PASSES)
         )
         rows.append((n, brute, ivf))
-        print(
-            f"| {os.path.basename(d.rstrip('/'))} | {n} | {brute:.2f} "
-            f"| {ivf:.2f} | {brute / ivf:.2f} |"
-        )
-    # fit brute = a*n^2 (dominant term, through the largest point) and
-    # ivf = linear interpolation; crossover where fitted curves meet
-    if len(rows) >= 2:
-        n_big, brute_big, _ = rows[-1]
-        a = brute_big / (n_big**2)
-        # linear fit for ivf through first/last points
-        n0, _, ivf0 = rows[0]
-        n1, _, ivf1 = rows[-1]
-        slope = (ivf1 - ivf0) / max(n1 - n0, 1)
-        lo, hi = 1, 10 * n_big
+        bs = f"{brute:.2f}" if brute is not None else "(skipped)"
+        rs = f"{brute / ivf:.2f}" if brute is not None else "-"
+        print(f"| {os.path.basename(d.rstrip('/'))} | {n} | {bs} | {ivf:.2f} | {rs} |")
+    measured = [(n, b, i) for n, b, i in rows if b is not None]
+    if len(measured) >= 2 and len(rows) >= 2:
+        # fit brute = b0 + a*n^2 through the two largest measured points
+        (n1, b1, _), (n2, b2, _) = measured[-2], measured[-1]
+        a = (b2 - b1) / (n2**2 - n1**2)
+        b0 = b2 - a * n2**2
+        # ivf: linear fit through first/last points (cell scan is ~linear)
+        i_n0, _, i_v0 = rows[0]
+        i_n1, _, i_v1 = rows[-1]
+        slope = (i_v1 - i_v0) / max(i_n1 - i_n0, 1)
+
+        def ivf_fit(n: float) -> float:
+            return i_v0 + slope * (n - i_n0)
+
+        lo, hi = 1, 100 * rows[-1][0]
         while lo < hi:
             mid = (lo + hi) // 2
-            if a * mid * mid < ivf0 + slope * (mid - n0):
+            if b0 + a * mid * mid < ivf_fit(mid):
                 lo = mid + 1
             else:
                 hi = mid
-        print(f"\nfitted brute a*n^2: a={a:.3e}; ivf linear slope={slope:.3e}s/row")
+        print(f"\nfitted brute {b0:.2f}+{a:.3e}*n^2; ivf {i_v0:.2f}+{slope:.3e}*(n-{i_n0})")
+        for n, b, _ in rows:
+            if b is None:
+                print(f"predicted brute at n={n}: {b0 + a * n * n:.1f} s")
         print(f"estimated crossover: n ~= {lo}")
     spark.stop()
 

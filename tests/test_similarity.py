@@ -130,6 +130,35 @@ def test_brute_near_dup_size_gate_delegates_to_ivf(spark):
     assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, ivf.collect()))
 
 
+def test_brute_near_dup_gate_boundary_and_measured_default(spark):
+    """The gate flips exactly AT max_brute_rows (<= stays brute, n-1
+    delegates), and the default is the scripts/ann_crossover.py MEASURED
+    brute/IVF time crossover (~3.6k rows on local[32]), not the old 200k
+    broadcast-memory heuristic — see SCALE.md's crossover table."""
+    from mapreduce_simple_go_spark.operators.similarity import (
+        MAX_BRUTE_ROWS,
+        _emb,
+        embedding_near_dup,
+        embedding_near_dup_ivf,
+    )
+
+    assert MAX_BRUTE_ROWS == 3_500
+
+    n = _emb(spark, SF_DIR).count()
+    at_boundary = embedding_near_dup(spark, SF_DIR, max_brute_rows=n)
+    below = embedding_near_dup(spark, SF_DIR, max_brute_rows=n - 1)
+    brute = embedding_near_dup(spark, SF_DIR, max_brute_rows=10**12)
+    ivf = embedding_near_dup_ivf(spark, SF_DIR)
+
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(at_boundary) == rows(brute)  # n <= gate: brute path
+    assert rows(below) == rows(ivf)  # n > gate: delegate to IVF
+    # the sf0.001 fixture's vectors are near-uniform: the cell restriction
+    # genuinely drops cross-cell pairs here, so the two paths differing
+    # proves the boundary actually switched implementations
+    assert rows(brute) != rows(ivf)
+
+
 def test_srp_recall_vs_brute_force(spark):
     """SRP-LSH banded buckets must recover a meaningful share of the exact
     top-k — 4-bit bands over 16 sign bits collide for near neighbors with
