@@ -10,6 +10,7 @@ unsalted pairs that is identical whenever no bucket exceeds the cap.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_simple_go_spark.operators.dedup import (
@@ -138,3 +139,60 @@ def test_salted_runtime_reuses_band_index(spark):
     assert len(df.collect()) > 0
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+@pytest.mark.slow
+def test_salted_ten_thousand_dupe_bucket_linear_pairs(spark):
+    """The round-6 verdict's adversarial shape at full size: ONE band
+    bucket holding 10^4 identical docs. The salted join must emit pairs
+    linear in k (chain of cap-sized cliques: per band ceil(k/cap) groups
+    of <= cap+1 members), stay one connected component, and never build a
+    join group above cap+1 — the empirical O(k*cap) bound, vs the
+    C(10^4, 2) = 49 995 000 pairs/band the unsalted join would pay
+    (measured at 100x corpus scale in scripts/lsh_adversarial.py; numbers
+    in SCALE.md)."""
+    k = 10_000
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate terms of service text repeated verbatim "
+             "across every mirror of the site") for i in range(k)],
+        "doc_id long, text string",
+    )
+    keyed = lsh_salted_keyed(_lsh_bands(minhash_wide(docs))).localCheckpoint(
+        eager=True
+    )
+    grp = keyed.groupBy("band", "sig", "chunk").count()
+    assert grp.agg(F.max("count")).first()[0] <= LSH_BUCKET_CAP + 1
+
+    a = keyed.select("band", "sig", "chunk", F.col("doc_id").alias("x"))
+    b = keyed.select("band", "sig", "chunk", F.col("doc_id").alias("y"))
+    pairs = (
+        a.join(b, ["band", "sig", "chunk"])
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+    )
+    distinct = pairs.distinct()
+    n_pairs = distinct.count()
+    # O(k*cap) bound: per band <= ceil(k/cap) groups x C(cap+1,2) pairs;
+    # identical docs collide in every band, so the distinct union over
+    # bands stays below that single-band bound (same groups each band)
+    import math
+
+    per_band_bound = math.ceil(k / LSH_BUCKET_CAP) * (
+        (LSH_BUCKET_CAP + 1) * LSH_BUCKET_CAP // 2
+    )
+    assert n_pairs <= per_band_bound, (n_pairs, per_band_bound)
+    assert n_pairs < k * (k - 1) // 2 / 1000  # nowhere near quadratic
+
+    # connectivity: union-find over the emitted pairs -> ONE component
+    parent = {}
+
+    def find(u):
+        parent.setdefault(u, u)
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for r in distinct.collect():
+        parent[find(r.x)] = find(r.y)
+    assert len({find(d) for d in range(k)}) == 1
