@@ -58,8 +58,14 @@ def main() -> int:
             "err": None,
         }
         try:
+            import time
+
+            t0 = time.monotonic()
             sdf = fn(spark, sf_dir).toPandas()
+            rec["spark_s"] = round(time.monotonic() - t0, 2)
+            t0 = time.monotonic()
             odf = duck.execute(oracles[name]).df()
+            rec["oracle_s"] = round(time.monotonic() - t0, 2)
             rec["spark_rows"], rec["oracle_rows"] = len(sdf), len(odf)
             rec["rows_match"] = len(sdf) == len(odf)
             rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
@@ -70,10 +76,20 @@ def main() -> int:
             rec["err"] = traceback.format_exc(limit=3)
         results[name] = rec
         spark.catalog.clearCache()
+        # free pandas frames + any localCheckpoint blocks before the next
+        # query — matters when sweeping the 100x fixture in one session
+        sdf = odf = None  # noqa: F841
+        import gc
+
+        gc.collect()
         flags = "".join(
             "+" if rec[k] else "-" for k in ("rows_match", "schema_match", "hash_match")
         )
         print(f"{flags} {name}" + (f"  ERR" if rec["err"] else ""), flush=True)
+        # incremental write: a long at-scale sweep keeps its progress on
+        # disk even if the host or a pathological query kills the run
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
     spark.stop()
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
