@@ -524,7 +524,16 @@ def dedup_ngram_jaccard(
             .filter(F.col("df") <= df_ceiling)
             .select("shingle")
         )
-        sh_capped = sh.join(rare, "shingle")
+        # merge-hint: the rare side is ~every distinct shingle (most clear a
+        # df ceiling), i.e. it GROWS with the corpus. Its post-agg shuffle
+        # bytes compress well enough that at the 100x fixture AQE still
+        # priced it under the 64 MB broadcast threshold, and the
+        # deserialized hash relation then blew the local-mode heap it
+        # shares with the cached shingle set ("Not enough memory to build
+        # and broadcast"). SMJ is also the better plan shape: its shingle
+        # Exchange on sh is exactly the partitioning the a x b pair
+        # self-join below needs, so AQE reuses one shuffle for both.
+        sh_capped = sh.join(rare.hint("merge"), "shingle")
     sizes = sh_capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh_capped.alias("a"), sh_capped.alias("b")
     inter = (
