@@ -36,11 +36,19 @@ NPROBE = 3
 # Coarse quantizer sizing: a FIXED count k = min(K_CENTROIDS, ceil(sqrt(n))),
 # not a fraction of the base table. sqrt(n) is the classical IVF cell count
 # (cells and per-cell size both grow as sqrt(n)); the cap bounds the driver
-# collect and the per-row argmax cost at O(K_CENTROIDS) no matter how large
-# the base grows. At genuine 100 TB scale you would raise the cap (a 4096 x
-# 64 float64 matrix is still a 2 MB broadcast) or train k-means centroids —
-# the invariant that matters is that centroid count is independent of n.
-K_CENTROIDS = 256
+# collect and the per-row assignment cost at O(K_CENTROIDS) no matter how
+# large the base grows. The cap matters: once it binds, per-cell size grows
+# LINEARLY in n and the within-cell work (near-dup pairs: sum |cell|^2/2)
+# turns quadratic — measured in the r7 scaling sweep, where the old cap of
+# 256 bound at the 200k-vector 100x fixture and embedding_near_dup_ivf's
+# last-decade ratio hit 12.8x for 10x data (SCALE.md r7 scaling-law table).
+# 4096 keeps sqrt sizing honest through n = 16.8M vectors while the
+# broadcast stays a 4096 x 64 float64 matrix = 2 MB and assignment stays one
+# numpy matmul per Arrow batch. Beyond ~10^7 vectors per job, raise it again
+# or go hierarchical (two-level coarse quantizer); the invariant that
+# matters is that centroid count is independent of n only UNTIL the cap,
+# and the cap must sit above the corpus sizes the job actually sees.
+K_CENTROIDS = 4096
 
 
 def n_centroids(n_rows: int) -> int:
@@ -639,8 +647,21 @@ ORACLES["embedding_norm_stats"] = EMB_NORM_STATS_SQL
 
 # SRP-LSH ANN ------------------------------------------------------------------
 
-SRP_BITS = 16
-SRP_BANDS = 4  # 4 bands x 4 bits
+# Band layout: 8 bands x 8 bits. Sized from the measured cost/recall
+# frontier (scripts/srp_tune.py; table in SCALE.md r7): a band of b bits
+# collides for an unrelated pair with probability ~2^-b, so candidates per
+# query ~ n * bands / 2^bits_per_band. The original 4x4 layout collided on
+# 1/16 of the corpus per band — candidates ~ n/4, only a 4x prune over
+# brute force, which the 100x scaling sweep exposed as quadratic wall-time
+# (441 s at 200k vectors). 8x8 measures 24-27x prune. Recall on the
+# deliberately-uniform fixture drops (0.08-0.20 vs 0.32-0.49 — top-5
+# "neighbors" there sit at cos ~0.4, barely above random, the adversarial
+# case for ANY LSH family), while in the high-similarity regime the
+# operator exists for the collision math holds it high: at cos 0.95,
+# p_bit = 1 - theta/pi = 0.90, per-band 0.90^8 = 0.43, across 8 bands
+# 1 - (1-0.43)^8 = 98.8% — pinned by the planted-neighbor recall test.
+SRP_BANDS = 8
+SRP_BITS = 64  # SRP_BANDS bands x 8 bits
 _SRP_ROWS_PER_BAND = SRP_BITS // SRP_BANDS
 
 
@@ -713,10 +734,13 @@ def _srp_signatures(df: DataFrame) -> DataFrame:
 def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k via signed random projections.
 
-    The second scale path next to IVF (ann_ivf_topk): 16 hyperplane sign
-    bits per vector, banded 4x4 — vectors agreeing with a query on ALL
+    The second scale path next to IVF (ann_ivf_topk): 64 hyperplane sign
+    bits per vector, banded 8x8 — vectors agreeing with a query on ALL
     bits of ANY band become candidates (P[bit agree] = 1 - theta/pi, the
-    SRP guarantee), then candidates are scored exactly and ranked.
+    SRP guarantee), then candidates are scored exactly and ranked. Band
+    layout sized from the measured frontier (see the SRP_BANDS note and
+    scripts/srp_tune.py): ~2^-8 collision per band keeps candidates near
+    n * 8/256 = n/32 per query, a measured 24-27x prune over brute force.
 
     Scale shape: signatures are computed scan-side in one Arrow batch pass
     (zero shuffle); the query band table is tiny — its signatures come

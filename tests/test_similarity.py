@@ -160,9 +160,15 @@ def test_brute_near_dup_gate_boundary_and_measured_default(spark):
 
 
 def test_srp_recall_vs_brute_force(spark):
-    """SRP-LSH banded buckets must recover a meaningful share of the exact
-    top-k — 4-bit bands over 16 sign bits collide for near neighbors with
-    probability (1 - theta/pi)^4 per band, well above random."""
+    """SRP-LSH candidate buckets must carry genuine angular signal on the
+    near-uniform fixture — the adversarial case for any LSH family, where
+    the exact top-5 sit at cos ~0.4, barely above random pairs. The floor
+    is therefore RELATIVE to chance: a random candidate set of the same
+    size would land exact-top-k members with probability ~cand/n (the 8x8
+    layout keeps cand/query near n/32, so chance recall ~3%); the SRP
+    buckets must beat that several-fold. The absolute-recall contract for
+    the regime the operator exists for (high-cosine retrieval) is pinned
+    separately by test_srp_recall_planted_neighbors."""
     from mapreduce_simple_go_spark.operators.similarity import ann_srp_topk
 
     exact = ann_cosine_topk(spark, SF_DIR).collect()
@@ -177,7 +183,56 @@ def test_srp_recall_vs_brute_force(spark):
         len(exact_sets[q] & approx_sets.get(q, set())) / TOP_K for q in exact_sets
     ]
     mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.3, f"SRP mean recall {mean_recall:.2f} too low"
+    # ~3% chance recall at n/32 candidates; 10% = >3x over chance
+    # (measured 0.20 at sf0.001 — scripts/srp_tune.py table in SCALE.md)
+    assert mean_recall >= 0.1, f"SRP mean recall {mean_recall:.2f} at chance level"
+
+
+def test_srp_recall_planted_neighbors(spark, tmp_path):
+    """The contract that matters at scale: for HIGH-cosine neighbors (the
+    near-dup / retrieval regime LSH exists for), the 8x8 band layout must
+    recover nearly all of them. Analytic bound at cos 0.95: p_bit = 1 -
+    theta/pi = 0.90, per-band 0.90^8 = 0.43, across 8 bands 98.8%. Planted
+    construction: 20 query vectors, each with one perturbed copy at
+    cos >= 0.93, in a 400-vector sea of seeded uniform noise."""
+    import numpy as np
+
+    from mapreduce_simple_go_spark.operators.similarity import (
+        EMBED_DIM,
+        QUERY_MOD,
+        ann_srp_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    n_noise, n_q = 400, 20
+    rows = []
+    for i in range(n_noise):
+        # non-query ids (never % QUERY_MOD == 0)
+        rows.append((i * QUERY_MOD + 1, rng.standard_normal(EMBED_DIM)))
+    planted = {}
+    for j in range(n_q):
+        q_id = (j + 1) * QUERY_MOD  # query: vec_id % QUERY_MOD == 0
+        v = rng.standard_normal(EMBED_DIM)
+        eps = 0.25 * rng.standard_normal(EMBED_DIM)  # cos(v, v+eps) ~ 0.97
+        dup_id = q_id + 3
+        rows.append((q_id, v))
+        rows.append((dup_id, v + eps))
+        cos = float(
+            np.dot(v, v + eps) / (np.linalg.norm(v) * np.linalg.norm(v + eps))
+        )
+        assert cos >= 0.93, cos
+        planted[q_id] = dup_id
+    sdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    fix = str(tmp_path / "fix")
+    sdf.coalesce(1).write.parquet(f"{fix}/embeddings.parquet")
+    got = {}
+    for r in ann_srp_topk(spark, fix).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hit = sum(1 for q, d in planted.items() if d in got.get(q, set()))
+    assert hit >= int(0.9 * n_q), f"planted-neighbor recall {hit}/{n_q}"
 
 
 def test_kmeans_matches_numpy_reference(spark):
