@@ -85,6 +85,36 @@ def duck_cosine_raw(a: str, b: str) -> str:
     )
 
 
+def duck_assign_ctes(src: str) -> str:
+    """Streaming nearest-centroid assignment for the DuckDB oracles.
+
+    Emits two CTEs (``abest``, ``assign``) equivalent to the window form
+    ``ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id
+    ASC) = 1`` but pipelined: the window operator materializes the whole
+    (rows x centroids) cross product — with the embedding arrays in
+    flight that is ~1 KB/row, and at the 100x fixture (200k x 448 = 90M
+    rows) it ran DuckDB out of memory during the r7 re-verification. The
+    two hash aggregates keyed on vec_id stream the same product twice
+    (2x compute, O(n) state): pass one takes MAX(cos) per vector, pass
+    two takes MIN(cent_id) among the achievers — the identical
+    highest-cos, lowest-cent_id tie-break, on identical IEEE values
+    (same expression both passes). Verified row-identical to the window
+    form at sf0.01/sf0.1/sf1 before the swap."""
+    cos = duck_cosine_raw("e.embedding", "c.c_emb")
+    return f"""abest AS (
+  SELECT e.vec_id, MAX({cos}) AS best_cos
+  FROM {src} e CROSS JOIN cents c
+  GROUP BY e.vec_id
+),
+assign AS (
+  SELECT e.vec_id, MIN(c.cent_id) AS cell
+  FROM {src} e CROSS JOIN cents c
+  JOIN abest b ON b.vec_id = e.vec_id
+  WHERE {cos} = b.best_cos
+  GROUP BY e.vec_id
+)"""
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -332,15 +362,7 @@ def ann_ivf_sql(nprobe: int) -> str:
 WITH cents AS (
 {CENTS_SQL}
 ),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cent_id AS cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {duck_cosine_raw('e.embedding', 'c.c_emb')} DESC,
-                                       c.cent_id ASC) AS crank
-    FROM embeddings e CROSS JOIN cents c
-  ) WHERE crank = 1
-),
+{duck_assign_ctes('embeddings')},
 q AS (
   SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
   WHERE vec_id % {QUERY_MOD} = 0
@@ -493,15 +515,7 @@ WITH cents AS (
 gate AS (SELECT (COUNT(*) <= {MAX_BRUTE_ROWS}) AS use_brute FROM embeddings),
 bsrc AS (SELECT * FROM embeddings WHERE (SELECT use_brute FROM gate)),
 isrc AS (SELECT * FROM embeddings WHERE NOT (SELECT use_brute FROM gate)),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cent_id AS cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {duck_cosine_raw('e.embedding', 'c.c_emb')} DESC,
-                                       c.cent_id ASC) AS r
-    FROM isrc e CROSS JOIN cents c
-  ) WHERE r = 1
-),
+{duck_assign_ctes('isrc')},
 cells AS (
   SELECT a.vec_id, a.cell, e.embedding
   FROM assign a JOIN isrc e ON e.vec_id = a.vec_id
@@ -579,15 +593,7 @@ EMB_NEAR_DUP_IVF_SQL = f"""
 WITH cents AS (
 {CENTS_SQL}
 ),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cent_id AS cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {duck_cosine_raw('e.embedding', 'c.c_emb')} DESC,
-                                       c.cent_id ASC) AS r
-    FROM embeddings e CROSS JOIN cents c
-  ) WHERE r = 1
-),
+{duck_assign_ctes('embeddings')},
 cells AS (
   SELECT a.vec_id, a.cell, e.embedding
   FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
