@@ -1,0 +1,82 @@
+"""Per-query scaling exponents from the round's sweep artifacts.
+
+Each CORRECTNESS_SELF_* artifact records per-query Spark wall time
+(spark_s) since r7; together with bench_out.json's sf0.1 best-of-2 this
+gives up to four measured points per registry entry. This script fits
+t ∝ (data)^e over the sf0.1 → sf10 span (100x) and prints the registry
+sorted by exponent — the standing way to catch the next cost-law break
+(the r7 run of exactly this analysis caught ann_srp_topk at e=1.35 and
+the K_CENTROIDS cap bind; see SCALE.md "Four-SF scaling law").
+
+Exponent reading: e <= ~0.6 means shuffle/partial-agg machinery is
+absorbing the growth; e ~ 1 is honest linear; e > 1 is super-linear and
+needs a diagnosis (by-contract quadratic verifier, a cap that binds, or
+a real plan break). The last-decade ratio t(sf10)/t(sf1) is printed too
+— it localizes WHERE the law breaks (a fine exponent with a >10x last
+decade means the break is recent).
+
+Usage: python scripts/scaling_exponents.py [--json] [top_n]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _times(path: str) -> dict[str, float]:
+    with open(os.path.join(REPO, path)) as f:
+        d = json.load(f)
+    return {k: v["spark_s"] for k, v in d.items() if v.get("spark_s")}
+
+
+def main() -> int:
+    as_json = "--json" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    top_n = int(args[0]) if args else 15
+
+    with open(os.path.join(REPO, "bench_out.json")) as f:
+        t01 = json.load(f)["queries"]  # sf0.1 best-of-2, idle host
+    t1 = _times("CORRECTNESS_SELF_SF1_r07.json")  # 10x
+    t10 = _times("CORRECTNESS_SELF_SF10_r07.json")  # 100x
+
+    rows = []
+    for k in sorted(t10):
+        if t01.get(k) and t1.get(k):
+            e = math.log(t10[k] / t01[k]) / math.log(100)
+            rows.append(
+                {
+                    "query": k,
+                    "sf0.1_s": t01[k],
+                    "sf1_s": t1[k],
+                    "sf10_s": t10[k],
+                    "exponent": round(e, 3),
+                    "last_decade": round(t10[k] / t1[k], 2),
+                }
+            )
+    rows.sort(key=lambda r: -r["exponent"])
+    med = statistics.median(r["exponent"] for r in rows)
+    sub = sum(1 for r in rows if r["last_decade"] <= 10)
+    if as_json:
+        print(json.dumps({"median_exponent": med, "n": len(rows), "rows": rows}))
+        return 0
+    print(
+        f"{len(rows)} queries; median exponent {med:.2f}; "
+        f"{sub}/{len(rows)} at-or-below linear in the last decade"
+    )
+    print(f"{'query':42s}{'sf0.1':>8s}{'sf1':>8s}{'sf10':>9s}{'exp':>7s}{'10x->':>7s}")
+    for r in rows[:top_n]:
+        print(
+            f"{r['query']:42s}{r['sf0.1_s']:8.2f}{r['sf1_s']:8.2f}"
+            f"{r['sf10_s']:9.2f}{r['exponent']:7.2f}{r['last_decade']:7.1f}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

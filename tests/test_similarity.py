@@ -299,3 +299,67 @@ def test_ivf_nprobe_wider_than_cells_probes_all(spark):
         per_vec.setdefault(r.vec_id, []).append(r.crank)
     # every vector probes exactly n_cells = 4 cells with ranks 1..4
     assert all(sorted(v) == [1, 2, 3, 4] for v in per_vec.values()), per_vec
+
+
+def test_streaming_assignment_equals_window_form():
+    """The r7 oracle rewrite (duck_assign_ctes) must be row-identical to
+    the window formulation it replaced — ROW_NUMBER() OVER (PARTITION BY
+    vec_id ORDER BY cos DESC, cent_id ASC) = 1 — including under total
+    tie degeneracy (every cosine equal), where both must break to the
+    LOWEST cent_id. Pure-DuckDB property test; the window form is kept
+    here as the executable spec."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_simple_go_spark.operators.similarity import (
+        CENTS_SQL,
+        duck_assign_ctes,
+        duck_cosine_raw,
+    )
+
+    cos = duck_cosine_raw("e.embedding", "c.c_emb")
+    window_sql = f"""
+WITH cents AS (
+{CENTS_SQL}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cent_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+)
+SELECT vec_id, cell FROM assign ORDER BY vec_id
+"""
+    streaming_sql = f"""
+WITH cents AS (
+{CENTS_SQL}
+),
+{duck_assign_ctes('embeddings')}
+SELECT vec_id, cell FROM assign ORDER BY vec_id
+"""
+    rng = np.random.default_rng(11)
+    cases = {
+        # generic random vectors (ties only where duplicates collide)
+        "random": [
+            (i, [float(x) for x in rng.standard_normal(8)]) for i in range(300)
+        ],
+        # total degeneracy: every vector identical -> every centroid ties;
+        # both forms must assign everyone to the lowest sampled cent_id
+        "all_ties": [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(300)],
+    }
+    for name, rows in cases.items():
+        pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                            "embedding": [r[1] for r in rows]})
+        con = duckdb.connect()
+        con.register("embeddings", pdf)
+        win = con.execute(window_sql).fetchall()
+        stream = con.execute(streaming_sql).fetchall()
+        assert win == stream, name
+        assert len(win) == len(rows), name
+        if name == "all_ties":
+            cents = {c for _, c in win}
+            assert len(cents) == 1, cents  # everyone at the lowest cent_id
+        con.close()
