@@ -340,15 +340,18 @@ WITH cents AS (
 {duck_assign_ctes('embeddings')}
 SELECT vec_id, cell FROM assign ORDER BY vec_id
 """
+    from mapreduce_simple_go_spark.operators.similarity import EMBED_DIM
+
     rng = np.random.default_rng(11)
     cases = {
         # generic random vectors (ties only where duplicates collide)
         "random": [
-            (i, [float(x) for x in rng.standard_normal(8)]) for i in range(300)
+            (i, [float(x) for x in rng.standard_normal(EMBED_DIM)])
+            for i in range(300)
         ],
         # total degeneracy: every vector identical -> every centroid ties;
         # both forms must assign everyone to the lowest sampled cent_id
-        "all_ties": [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(300)],
+        "all_ties": [(i, [float(d + 1) for d in range(EMBED_DIM)]) for i in range(300)],
     }
     for name, rows in cases.items():
         pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
