@@ -19,6 +19,7 @@ streams are used in tests (``availableNow`` trigger = bounded replay).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -225,7 +226,44 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
 
 
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str) -> None:
-    """Drain a bounded stream into an in-memory table named ``query_name``."""
+    """Drain a bounded stream into a queryable temp view named ``query_name``.
+
+    Append/update drains use the memory sink: their per-batch output is
+    incremental and small. COMPLETE mode is different — the memory sink
+    keeps the ENTIRE result table in DRIVER memory and rewrites it every
+    micro-batch, i.e. a driver-side collect in disguise; at the 100x
+    fixture the native-session-window drain's full result put an 8 GB
+    driver heap at its margin (observed OOM, r7). Complete drains
+    therefore go through foreachBatch -> overwrite parquet (executor-side
+    write, the standard arbitrary-sink pattern for complete mode); the
+    final batch's table is read back, eagerly localCheckpointed (so the
+    scratch dir can be removed immediately), and registered under the
+    same view name — callers are agnostic to which sink ran.
+    """
+    if output_mode == "complete":
+        import shutil
+        import tempfile
+
+        spark = stream_df.sparkSession
+        sink = tempfile.mkdtemp(prefix=f"{query_name}_sink_")
+        try:
+            q = (
+                stream_df.writeStream.foreachBatch(
+                    lambda df, _bid: df.write.mode("overwrite").parquet(sink)
+                )
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            if any(f.endswith(".parquet") for f in os.listdir(sink)):
+                out = spark.read.parquet(sink)
+            else:  # zero batches ran (empty bounded source)
+                out = spark.createDataFrame([], stream_df.schema)
+            out.localCheckpoint(eager=True).createOrReplaceTempView(query_name)
+        finally:
+            shutil.rmtree(sink, ignore_errors=True)
+        return
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
