@@ -88,7 +88,10 @@ def main() -> None:
     spark.range(32).mapInPandas(
         lambda it: it, schema="id long"
     ).collect()
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # best-of-3 by default (r7 verdict directive 7): the single-shot driver
+    # bench read 1.25x worse than the idle-host truth purely from host-load
+    # noise; a third pass tightens the min estimator at ~50% extra wall.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings = run_suite(spark, sf_dir, passes=passes)
     total = round(sum(timings.values()), 3)
     out = {

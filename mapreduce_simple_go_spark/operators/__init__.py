@@ -40,76 +40,68 @@ def _modules():
 # current round — a self-sweep is not an independent verdict. Names rotate
 # out only once a green row exists for the code at HEAD.
 _WINDOW_PRIORITY = [
-    # --- round 7: final rotation round. Exactly the 50 entries whose most
-    # recent green driver verdict predates round 5 (16 last-checked r3 +
-    # 34 last-checked r4, computed by union over CORRECTNESS_r01..r06).
-    # Zero new registry entries this round by design; once these 50 come
-    # back green, every registry entry's driver verdict is <= 2 rounds old.
-    # --- last driver-checked in round 3
-    "inverted_index_positional",
-    "chunk_dedup",
-    "dedup_incremental",
-    "fuzzy_name_matches",
-    "decontaminate_overlap",
-    "ann_srp_topk",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_ship_delay_priority",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
+    # --- round 8: rotation close-out ordered by the r7 verdict. Exactly
+    # the 48 entries whose most recent green driver verdict predates round
+    # 6 (1 last-checked r4: wc — it runs every round as the entry() smoke
+    # but is not hash-checked there — plus the 47-entry r5 block), computed
+    # by union over CORRECTNESS_r01..r07, PLUS dedup_ngram_jaccard (green
+    # r7, but its join-strategy gate changes this round — per the window
+    # policy a code change re-windows the entry). Once these come back
+    # green, no registry entry's driver verdict is older than r6 and the
+    # 3-round rotation cycle closes exactly.
+    # --- code changed in round 8 (r7-green, re-windowed by policy)
+    "dedup_ngram_jaccard",
     # --- last driver-checked in round 4
     "wc",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    "doc_split_assign",
-    "doc_fingerprint",
-    "ngram_counts",
-    "token_stats",
-    "lang_id",
-    "text_quality",
-    "quality_filter",
-    "quality_model_score",
-    "repetition_filter",
-    "pii_scrub",
-    "tfidf_top_terms",
-    "bm25_scores",
-    "word_cooccurrence_pmi",
-    "word_pagerank",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_incremental",
-    "embedding_near_dup_ivf",
-    "embedding_quantize_error",
-    "kmeans_clusters",
-    "label_centroids",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_features",
-    "multimodal_dedup",
-    "stratified_sample",
-    "sample_per_stratum",
-    "length_bucket_batches",
-    "pack_sequences",
-    "curation_pipeline",
-    "range_join_brackets",
+    # --- last driver-checked in round 5
+    "asof_last_purchase",
+    "event_value_delta",
+    "kv_final_state",
+    "kv_get_visible",
+    "events_hourly",
+    "sessionization",
+    "top_event_values",
+    "events_sliding",
+    "events_props_json",
+    "user_event_pivot",
+    "purchase_within_hour_of_click",
+    "kv_final_state_dedup",
+    "kv_stream_final_state",
+    "funnel_signup_click_purchase",
+    "retention_cohorts",
+    "stream_sessions_gap_closed",
+    "events_rollup_multigrain",
+    "session_window_native",
+    "stream_session_window_native",
+    "stream_click_purchase_join",
+    "anomaly_zscore",
+    "ewma_user_value",
+    "line_dedup_rewrite",
+    "domain_mix_weights",
+    "pareto_orders",
+    "inverted_index_capped",
+    "per_file_metrics_chunked",
+    "stream_hourly_counts",
+    "csv_roundtrip",
+    "stream_dedup_counts",
+    "schema_evolution_roundtrip",
+    "heavy_hitters_cms",
+    "bigram_lm",
+    "scd2_user_state",
+    "bloom_decontaminate",
+    "word_triangles",
+    "stream_enriched_counts",
+    "join_key_skew",
+    "props_variant_histogram",
+    "events_hourly_gapfill",
+    "events_metrics_unpivot",
+    "lsh_band_occupancy",
+    "partitioned_prune_roundtrip",
+    "global_rank_orders",
+    "stream_sliding_counts",
+    "weighted_sample_docs",
+    "lm_perplexity_filter",
 ]
-
-# stream_user_totals_tws registers only where a google.protobuf runtime is
-# importable (events.register_tws / _protobuf.ensure_protobuf). When it IS
-# registered it has never had a green driver row, so per the window policy
-# it must sit inside the 50-name head; "wc" yields its slot because the
-# driver's entry() smoke check runs the same word_count code path every
-# round regardless (it keeps its r4 green row and the HEAD self-sweeps).
-if "stream_user_totals_tws" in events.QUERIES:
-    _WINDOW_PRIORITY = [
-        "stream_user_totals_tws",
-        *[n for n in _WINDOW_PRIORITY if n != "wc"],
-    ]
 assert len(_WINDOW_PRIORITY) <= 50, len(_WINDOW_PRIORITY)
 
 

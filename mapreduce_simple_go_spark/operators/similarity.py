@@ -12,7 +12,9 @@ Two paths, as a 100 TB pipeline needs both:
   query — the scale path.
 
 All arithmetic is sequential left-to-right double accumulation
-(``F.aggregate`` in Spark, ``list_reduce`` in DuckDB) so the oracle matches
+(``F.aggregate`` in Spark; flat left-associated ``+`` term chains in the
+DuckDB oracles — same IEEE order as a ``list_reduce`` fold but ~26x faster
+to plan/execute, see functions.duck_cosine) so the oracle matches
 bit-for-bit; cosines are rounded to 9 dp in both engines before ranking.
 
 Embeddings fixture: vec_id bigint, embedding array<float> (64 dims), label.
@@ -117,7 +119,15 @@ def duck_assign_ctes(src: str) -> str:
     two takes MIN(cent_id) among the achievers — the identical
     highest-cos, lowest-cent_id tie-break, on identical IEEE values
     (same expression both passes). Verified row-identical to the window
-    form at sf0.01/sf0.1/sf1 before the swap."""
+    form at sf0.01/sf0.1/sf1 before the swap.
+
+    The achiever match is ``IS NOT DISTINCT FROM`` (not ``=``) so a
+    vector whose cosine is NULL against EVERY centroid (a NULL element in
+    the embedding array — absent from the fixtures but possible on
+    degenerate data) still lands in its MIN(cent_id) cell, exactly as the
+    ROW_NUMBER window form assigned it; with bare ``=`` such a vector
+    would silently vanish from the assignment (NULL = NULL is never
+    true). NaN needs no such care: DuckDB treats NaN = NaN as true."""
     cos = duck_cosine_raw("e.embedding", "c.c_emb")
     return f"""abest AS (
   SELECT e.vec_id, MAX({cos}) AS best_cos
@@ -128,7 +138,7 @@ assign AS (
   SELECT e.vec_id, MIN(c.cent_id) AS cell
   FROM {src} e CROSS JOIN cents c
   JOIN abest b ON b.vec_id = e.vec_id
-  WHERE {cos} = b.best_cos
+  WHERE {cos} IS NOT DISTINCT FROM b.best_cos
   GROUP BY e.vec_id
 )"""
 
@@ -773,7 +783,7 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is never shuffled for probing. Only the deduped candidate pairs (a
     vanishing fraction of n x q) reach the exact scorer and the per-query
     top-k window. Unlike IVF there is no centroid state at all — the
-    "index" is 16 fixed hyperplanes, so incremental ingest needs no
+    "index" is 64 fixed hyperplanes, so incremental ingest needs no
     retraining.
     """
     base = _emb(spark, sf_dir)

@@ -35,15 +35,30 @@ def _times(path: str) -> dict[str, float]:
     return {k: v["spark_s"] for k, v in d.items() if v.get("spark_s")}
 
 
+def _latest(pattern: str) -> str:
+    """Newest round's artifact matching e.g. CORRECTNESS_SELF_SF1_r*.json
+    (lexicographic max of the round suffix; rounds are zero-padded)."""
+    import glob
+
+    hits = sorted(glob.glob(os.path.join(REPO, pattern)))
+    if not hits:
+        raise SystemExit(f"no artifact matches {pattern}")
+    chosen = os.path.basename(hits[-1])
+    print(f"# using {chosen}", file=sys.stderr)
+    return chosen
+
+
 def main() -> int:
     as_json = "--json" in sys.argv
     args = [a for a in sys.argv[1:] if a != "--json"]
     top_n = int(args[0]) if args else 15
 
     with open(os.path.join(REPO, "bench_out.json")) as f:
-        t01 = json.load(f)["queries"]  # sf0.1 best-of-2, idle host
-    t1 = _times("CORRECTNESS_SELF_SF1_r07.json")  # 10x
-    t10 = _times("CORRECTNESS_SELF_SF10_r07.json")  # 100x
+        t01 = json.load(f)["queries"]  # sf0.1 best-of-N, idle host
+    # latest round's sweep per SF (glob, not a hardcoded suffix — the r7
+    # hardcode would have silently fit stale timings in r8+)
+    t1 = _times(_latest("CORRECTNESS_SELF_SF1_r*.json"))  # 10x
+    t10 = _times(_latest("CORRECTNESS_SELF_SF10_r*.json"))  # 100x
 
     rows = []
     for k in sorted(t10):

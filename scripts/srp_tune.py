@@ -65,10 +65,13 @@ def _candidates_per_query(spark, sf_dir: str) -> float:
         .select("query_id", "vec_id")
         .distinct()
     )
-    row = cand.groupBy().agg(
-        F.count("*").alias("pairs"), F.countDistinct("query_id").alias("q")
-    ).collect()[0]
-    return row.pairs / max(row.q, 1)
+    # denominator = TOTAL query count, not countDistinct over the candidate
+    # set: queries with zero candidates must still dilute the mean, else
+    # cand/query is overstated (and prune_vs_brute understated) exactly for
+    # the wide-band configs where empty candidate sets are common.
+    n_queries = base.filter(F.col("vec_id") % S.QUERY_MOD == 0).count()
+    pairs = cand.count()
+    return pairs / max(n_queries, 1)
 
 
 def main() -> int:
