@@ -44,15 +44,19 @@ KV_OPS_DUCK = f"""
 """
 
 
-def kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive the deterministic op log from the events table."""
-    ev = load_events(spark, sf_dir)
+def _ops_projection(ev: DataFrame) -> DataFrame:
+    """The events -> op-log projection, applicable to a batch OR stream df."""
     return ev.select(
         F.col("event_id").alias("seq"),
         (F.col("user_id") % 50).cast("string").alias("key"),
         F.expr(_OP_CASE_SPARK).alias("op"),
         F.concat(F.lit("v"), (F.col("event_id") % 1000).cast("string"), F.lit(";")).alias("value"),
     )
+
+
+def kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the deterministic op log from the events table."""
+    return _ops_projection(load_events(spark, sf_dir))
 
 
 def kv_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,34 +319,57 @@ def kv_stream_final_state(
     runs — and the final per-key state must equal the batch fold, so this
     query SHARES kv_final_state's DuckDB oracle. This is the one registry
     row where the correctness gate hashes actual streaming-engine output
-    instead of a batch twin. The log is staged as one seq-sorted parquet
-    file (arrival order = linearization order, the stream's contract); the
-    memory-sink table name is unique per invocation so repeated runs in one
-    session don't collide. Final state per key = the max-``version`` row
-    (version = max seq applied, emitted by the stateful fold itself) —
-    correct for any micro-batch split of the drain; sink row order is never
-    consulted.
+    instead of a batch twin. The memory-sink table name is unique per
+    invocation so repeated runs in one session don't collide. Final state
+    per key = the max-``version`` row (version = max seq applied, emitted
+    by the stateful fold itself) — correct for any micro-batch split of
+    the drain; sink row order is never consulted.
 
-    ``n_files`` > 1 stages the log as that many contiguous-seq file drops
-    and drains with maxFilesPerTrigger=1, forcing a multi-micro-batch
-    drain of THIS exact code path (state carried across batches, version
-    re-emissions per batch) — tests/test_streaming.py asserts n_files=3
-    produces the identical result.
+    Staging (r8): the default single-batch drain does NOT rewrite the op
+    log — the events files are symlinked into a scratch source dir and
+    the op-log projection is applied to the STREAM DataFrame (the fold
+    sorts each micro-batch by seq internally, so file order and row order
+    are both immaterial within one batch — and with no maxFilesPerTrigger
+    an availableNow drain takes every listed file in one batch). That
+    removes the old sort+coalesce(1)+rewrite of the whole log (~1s of the
+     2.8s sf0.1 cost; driver-visible after the r7 complete-mode hardening
+    made the entry read 3.5s under load).
+
+    ``n_files`` > 1 keeps the explicit staging: the log is written as that
+    many contiguous-seq file drops and drained with maxFilesPerTrigger=1,
+    forcing a multi-micro-batch drain of THIS exact code path (state
+    carried across batches, version re-emissions per batch; cross-batch
+    ORDER matters there, hence contiguous seq ranges) —
+    tests/test_streaming.py asserts n_files=3 produces the identical
+    result.
     """
+    import glob
     import shutil
     import tempfile
     import uuid
 
-    from ..streaming import kv_append_state, run_available_now
+    from ..streaming import kv_append_state, run_available_now, stream_events
 
-    ops = kv_ops(spark, sf_dir).filter(F.col("op") != "get").orderBy("seq")
     root = tempfile.mkdtemp(prefix="kv_stream_q_")
     try:
         src = os.path.join(root, "src")
         os.makedirs(src)
         if n_files <= 1:
-            splits = [ops]
+            # zero-copy staging: symlink the events parquet file(s) (driver
+            # fixtures are single files; scaled fixtures are part dirs)
+            path = os.path.join(sf_dir, "events.parquet")
+            files = (
+                [path]
+                if os.path.isfile(path)
+                else sorted(glob.glob(os.path.join(path, "*.parquet")))
+            )
+            for i, f in enumerate(files):
+                os.symlink(f, os.path.join(src, f"drop{i}.parquet"))
+            stream = _ops_projection(stream_events(spark, src)).filter(
+                F.col("op") != "get"
+            )
         else:
+            ops = kv_ops(spark, sf_dir).filter(F.col("op") != "get")
             # contiguous seq ranges: drop order = seq order, the stream's
             # arrival-order contract (out-of-order arrival is a different
             # operator — the watermarked dedup path covers that).
@@ -354,18 +381,21 @@ def kv_stream_final_state(
                 )
                 for i in range(n_files)
             ]
-        for i, part in enumerate(splits):
-            stage = os.path.join(root, f"stage{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(stage)
-            pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-            shutil.copy(
-                os.path.join(stage, pfile), os.path.join(src, f"drop{i}.parquet")
+            for i, part in enumerate(splits):
+                stage = os.path.join(root, f"stage{i}")
+                part.coalesce(1).write.mode("overwrite").parquet(stage)
+                pfile = next(
+                    f for f in os.listdir(stage) if f.endswith(".parquet")
+                )
+                shutil.copy(
+                    os.path.join(stage, pfile),
+                    os.path.join(src, f"drop{i}.parquet"),
+                )
+            stream = (
+                spark.readStream.schema(splits[0].schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
             )
-        schema = spark.read.parquet(src).schema
-        reader = spark.readStream.schema(schema)
-        if n_files > 1:
-            reader = reader.option("maxFilesPerTrigger", 1)
-        stream = reader.parquet(src)
         name = "kvsfs_" + uuid.uuid4().hex[:8]
         # Size the stateful shuffle to the state's key cardinality (50 keys
         # here): state-store partitions are fixed at the first checkpoint of

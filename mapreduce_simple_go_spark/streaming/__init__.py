@@ -225,7 +225,25 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str) -> None:
+# Complete-mode sink gate (r8): below this many INPUT bytes the memory sink
+# is safe and ~0.5-1 s cheaper per drain than the parquet round-trip; above
+# it the parquet path removes the driver-size term entirely. Calibration
+# (BENCH_HISTORY r8): the r7 driver OOM happened at the 100x fixture
+# (~187 MB of staged events -> a 9.5 M-row complete result on an 8 GB
+# driver); 32 MB keeps a >5x margin below that while still letting every
+# driver-SF (sf0.001-0.1, <=2 MB) and 10x (17 MB) drain stay on the memory
+# sink. Same shape as the brute/IVF gate in operators.similarity.
+_COMPLETE_MEMORY_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_COMPLETE_MEMORY_MAX_BYTES", str(32 << 20))
+)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    input_bytes: int | None = None,
+) -> None:
     """Drain a bounded stream into a queryable temp view named ``query_name``.
 
     Append/update drains use the memory sink: their per-batch output is
@@ -233,19 +251,39 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str) -
     keeps the ENTIRE result table in DRIVER memory and rewrites it every
     micro-batch, i.e. a driver-side collect in disguise; at the 100x
     fixture the native-session-window drain's full result put an 8 GB
-    driver heap at its margin (observed OOM, r7). Complete drains
+    driver heap at its margin (observed OOM, r7). LARGE complete drains
     therefore go through foreachBatch -> overwrite parquet (executor-side
     write, the standard arbitrary-sink pattern for complete mode); the
     final batch's table is read back, eagerly localCheckpointed (so the
     scratch dir can be removed immediately), and registered under the
     same view name — callers are agnostic to which sink ran.
+
+    ``input_bytes`` (the staged source size, which callers know for free)
+    gates the two complete-mode sinks: at or below
+    ``_COMPLETE_MEMORY_MAX_BYTES`` the memory sink's result is provably
+    tiny and the parquet round-trip is pure overhead (r7 charged every
+    small drain ~0.5-1 s for a 50-row result); above it — or when the
+    caller passes None — the parquet path runs. Both sinks are
+    hash-identical by construction (tests pin it).
+
+    Scratch-dir note (local mode): the parquet sink root comes from
+    ``tempfile.mkdtemp`` (driver-local), which is correct only when driver
+    and executors share a filesystem — i.e. local[*], this repo's target.
+    On a multi-node cluster set ``SPARK_GRAFT_SCRATCH_DIR`` to a shared
+    location (DBFS/NFS/object store) or executors would write to their own
+    local disks and the driver read-back would see partial data.
     """
-    if output_mode == "complete":
+    if output_mode == "complete" and (
+        input_bytes is None or input_bytes > _COMPLETE_MEMORY_MAX_BYTES
+    ):
         import shutil
         import tempfile
 
         spark = stream_df.sparkSession
-        sink = tempfile.mkdtemp(prefix=f"{query_name}_sink_")
+        sink = tempfile.mkdtemp(
+            prefix=f"{query_name}_sink_",
+            dir=os.environ.get("SPARK_GRAFT_SCRATCH_DIR"),
+        )
         try:
             q = (
                 stream_df.writeStream.foreachBatch(

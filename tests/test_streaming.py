@@ -710,3 +710,38 @@ def test_tws_registration_gate():
     assert not register_tws(q2, o2, available=False)
     assert not q2 and not o2
     assert ("stream_user_totals_tws" in all_queries()) == tws_available()
+
+
+def test_complete_mode_sink_gate_parity(spark, events_src):
+    """The complete-mode size gate picks the memory sink for small inputs
+    and the foreachBatch-parquet sink for large/unknown ones — and BOTH
+    sinks must produce identical rows for the same drain (the gate is a
+    cost choice, never a semantics choice). input_bytes=0 forces memory,
+    input_bytes=None forces parquet; a spy on DataStreamWriter.foreachBatch
+    pins which path actually ran."""
+    from unittest.mock import patch
+
+    from pyspark.sql.streaming import DataStreamWriter
+
+    results = {}
+    ran_foreachbatch = {}
+    orig = DataStreamWriter.foreachBatch
+
+    for label, input_bytes in [("memory", 0), ("parquet", None)]:
+        called = []
+
+        def spy(self, func, _called=called):
+            _called.append(True)
+            return orig(self, func)
+
+        stream = hourly_counts(stream_events(spark, events_src))
+        with patch.object(DataStreamWriter, "foreachBatch", spy):
+            run_available_now(stream, f"gate_{label}", "complete", input_bytes)
+        results[label] = sorted_rows(spark.sql(f"SELECT * FROM gate_{label}"))
+        ran_foreachbatch[label] = bool(called)
+        spark.catalog.dropTempView(f"gate_{label}")
+
+    assert not ran_foreachbatch["memory"], "small input must use the memory sink"
+    assert ran_foreachbatch["parquet"], "unknown input size must use parquet"
+    assert results["memory"] == results["parquet"]
+    assert results["memory"] == sorted_rows(events_hourly(spark, SF_DIR))
