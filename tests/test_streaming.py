@@ -745,3 +745,72 @@ def test_complete_mode_sink_gate_parity(spark, events_src):
     assert ran_foreachbatch["parquet"], "unknown input size must use parquet"
     assert results["memory"] == results["parquet"]
     assert results["memory"] == sorted_rows(events_hourly(spark, SF_DIR))
+
+
+def test_foreachbatch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The bucketed upsert sink must leave bucket partitions whose keys a
+    micro-batch does NOT touch byte-identical on disk (dynamic partition
+    overwrite = partial rewrite, the bound that kills r7's O(table)
+    per-batch merge), while still converging to the batch fold."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.streaming import (
+        _bucket_of,
+        kv_append_state,
+        run_foreachbatch_upsert,
+    )
+
+    # two keys in provably different buckets
+    ka, kb = "a", "b"
+    buckets = {
+        r.k: r.b
+        for r in spark.createDataFrame([(ka,), (kb,)], "k string")
+        .select("k", _bucket_of(F.col("k")).alias("b"))
+        .collect()
+    }
+    assert buckets[ka] != buckets[kb], "pick keys in distinct buckets"
+
+    def ops_df(rows):
+        return spark.createDataFrame(rows, "seq long, key string, op string, value string")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("seq long, key string, op string, value string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_foreachbatch_upsert(kv_append_state(stream), out, ckpt)
+
+    def snapshot(bucket):
+        d = os.path.join(out, f"bucket={bucket}")
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    # batch 1 touches BOTH keys; batch 2 touches only kb
+    stage = tmp_path / "stage0"
+    ops_df([(1, ka, "put", "A1"), (2, kb, "put", "B1")]).coalesce(1).write.parquet(str(stage))
+    pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.link(stage / pfile, src / "drop0.parquet")
+    drain()
+    before_a, before_b = snapshot(buckets[ka]), snapshot(buckets[kb])
+
+    stage2 = tmp_path / "stage1"
+    ops_df([(3, kb, "append", "B2")]).coalesce(1).write.parquet(str(stage2))
+    pfile2 = next(f for f in os.listdir(stage2) if f.endswith(".parquet"))
+    os.link(stage2 / pfile2, src / "drop1.parquet")
+    drain()
+
+    assert snapshot(buckets[ka]) == before_a, "untouched bucket was rewritten"
+    assert snapshot(buckets[kb]) != before_b, "touched bucket must change"
+    got = sorted_rows(spark.read.parquet(out).select("key", "state"))
+    assert got == [(ka, "A1"), (kb, "B1B2")]
