@@ -484,6 +484,26 @@ WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_M
 # computed on FULL shingle sets, so emitted values are exact.
 NGRAM_DF_CEILING = 1000
 
+# Broadcast the rare-shingle set only while the documents table is at most
+# this many on-disk bytes (see the strategy comment in dedup_ngram_jaccard;
+# measured r8: broadcast wins at 0.6 MB, merge wins from 6 MB, broadcast
+# OOMs at 59 MB). Env-overridable for cluster memory profiles.
+NGRAM_BROADCAST_MAX_DOC_BYTES = int(
+    os.environ.get("SPARK_GRAFT_NGRAM_BROADCAST_MAX_DOC_BYTES", str(2 << 20))
+)
+
+
+def _docs_bytes(sf_dir: str) -> int:
+    """On-disk size of the documents table (single file or part dir)."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(p):
+        return os.stat(p).st_size
+    return sum(
+        os.stat(os.path.join(p, f)).st_size
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    )
+
 
 def dedup_ngram_jaccard(
     spark: SparkSession,
@@ -524,16 +544,31 @@ def dedup_ngram_jaccard(
             .filter(F.col("df") <= df_ceiling)
             .select("shingle")
         )
-        # merge-hint: the rare side is ~every distinct shingle (most clear a
-        # df ceiling), i.e. it GROWS with the corpus. Its post-agg shuffle
-        # bytes compress well enough that at the 100x fixture AQE still
-        # priced it under the 64 MB broadcast threshold, and the
-        # deserialized hash relation then blew the local-mode heap it
-        # shares with the cached shingle set ("Not enough memory to build
-        # and broadcast"). SMJ is also the better plan shape: its shingle
-        # Exchange on sh is exactly the partitioning the a x b pair
-        # self-join below needs, so AQE reuses one shuffle for both.
-        sh_capped = sh.join(rare.hint("merge"), "shingle")
+        # Size-gated join strategy (r8, same shape as the brute/IVF gate in
+        # similarity.py): the rare side is ~every distinct shingle (most
+        # clear a df ceiling), i.e. it GROWS with the corpus — so neither
+        # strategy is right at every scale, and AQE can't be trusted to
+        # pick (it prices broadcasts on COMPRESSED shuffle bytes; at the
+        # 100x fixture the low-entropy shingle strings compressed ~10x,
+        # stayed "under" 64 MB, and the deserialized hash relation blew the
+        # local-mode heap it shares with the cached shingle set). Gate on
+        # the documents table's on-disk bytes, which the shingle set tracks
+        # linearly and which costs one stat() to know:
+        #   - small corpus -> explicit broadcast: measured 2.7 s vs SMJ's
+        #     4.6 s at sf0.1 (0.6 MB docs) — the ~2 s r7 paid every driver
+        #     bench to protect the 100x case.
+        #   - large corpus -> merge hint: measured crossover is BELOW the
+        #     10x fixture already (6 MB docs: SMJ 7.3 s vs broadcast
+        #     8.4 s), and SMJ's shingle Exchange on sh is exactly the
+        #     partitioning the a x b pair self-join needs, so AQE reuses
+        #     one shuffle for both; at 100x broadcast OOMs outright.
+        # Threshold 2 MB: above the whole driver-SF family (<=0.6 MB),
+        # ~3x below the measured merge-wins point, ~30x below the OOM point.
+        if _docs_bytes(sf_dir) <= NGRAM_BROADCAST_MAX_DOC_BYTES:
+            rare_side = F.broadcast(rare)
+        else:
+            rare_side = rare.hint("merge")
+        sh_capped = sh.join(rare_side, "shingle")
     sizes = sh_capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh_capped.alias("a"), sh_capped.alias("b")
     inter = (

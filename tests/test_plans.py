@@ -147,6 +147,24 @@ def test_ngram_jaccard_pair_join_input_is_df_capped(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ngram_jaccard_join_strategy_gate(spark, monkeypatch):
+    """The rare-shingle join strategy follows the measured size gate: a
+    small corpus (driver SFs, under the byte threshold) broadcasts the
+    rare set — no SortMergeJoin anywhere in the plan; a large corpus
+    (threshold forced to 0) pins the merge hint — SMJ present, whose
+    shingle Exchange the pair self-join reuses (AQE runtime dedup,
+    pinned by the r7 executed-plan test discipline)."""
+    import mapreduce_simple_go_spark.operators.dedup as D
+
+    small = formatted_plan(D.dedup_ngram_jaccard(spark, SF_DIR))
+    assert "SortMergeJoin" not in small
+    assert "BroadcastHashJoin" in small
+
+    monkeypatch.setattr(D, "NGRAM_BROADCAST_MAX_DOC_BYTES", 0)
+    large = formatted_plan(D.dedup_ngram_jaccard(spark, SF_DIR))
+    assert "SortMergeJoin" in large
+
+
 def test_minhash_lsh_one_agg_one_selfjoin(spark):
     """MinHash-LSH must stay shuffle-lean: the signature aggregation and
     the band self-join — no re-join of signatures onto candidates (the
