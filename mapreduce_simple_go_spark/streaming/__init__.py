@@ -656,7 +656,14 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
             os.environ.setdefault(version_flag, "true")
             return
         for d in fallback_dirs:
-            if not os.path.isdir(os.path.join(d, "google", "protobuf")):
+            # entries may be bundle dirs OR zipimport-able archives
+            # (the repo's vendored runtime) — mirror _protobuf._entry_usable
+            usable = (
+                os.path.isfile(d)
+                if d.endswith(".zip")
+                else os.path.isdir(os.path.join(d, "google", "protobuf"))
+            )
+            if not usable:
                 continue
             sys.path.append(d)
             importlib.invalidate_caches()
