@@ -71,19 +71,23 @@ def test_ensure_protobuf_discovers_bundle_or_reports_absence():
     assert out in {"True", "False"}
 
 
-def test_tws_entry_sits_in_driver_window_when_registered():
-    """Window policy: a registered entry with no green driver row must be
-    inside the 50-name head the driver checks (round-6 ADVICE item #1)."""
+def test_driver_window_structure():
+    """Window policy invariants that hold every round: the head the driver
+    checks is at most 50 names, every window name resolves to a registered
+    query AND oracle, and the window occupies exactly the front of the
+    registry iteration order. (r7 pinned tws inside the head while it
+    lacked a green driver row; it earned one in r7 and rotated out — the
+    r8 window holds the 48 stale-verdict entries + the one code-changed
+    entry, see operators/__init__.py.)"""
     from mapreduce_simple_go_spark.operators import (
         _WINDOW_PRIORITY,
         all_oracles,
         all_queries,
-        events,
     )
 
     names = list(all_queries())
-    assert len(_WINDOW_PRIORITY) == 50
-    assert set(names[:50]) == set(_WINDOW_PRIORITY)
-    if "stream_user_totals_tws" in events.QUERIES:
-        assert names.index("stream_user_totals_tws") < 50
-        assert "stream_user_totals_tws" in all_oracles()
+    oracles = all_oracles()
+    assert len(_WINDOW_PRIORITY) <= 50
+    assert names[: len(_WINDOW_PRIORITY)] == list(_WINDOW_PRIORITY)
+    for n in _WINDOW_PRIORITY:
+        assert n in oracles, f"window name {n} lacks an oracle"
