@@ -72,6 +72,35 @@ def rows_key(columns, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def rows_digest(columns, rows):
+    """Order-insensitive multiset digest, equality-equivalent to rows_key.
+
+    ``rows_key(a) == rows_key(b)`` iff the two row MULTISETS are equal iff
+    their (count, summed per-row hash) pairs are equal (modulo 128-bit
+    collisions — negligible). Each row is normalized through the SAME
+    ``_norm`` as rows_key, then hashed (blake2b-128 of the tuple repr) and
+    SUMMED mod 2^128 — addition commutes, so row order is immaterial, and
+    nothing is retained per row. This is what the at-scale sweeps use:
+    sorting 10M+ normalized tuples (rows_key) costs minutes of driver CPU
+    and ~1 KB/row of resident tuples per engine, which dominated the r8
+    sf10 sweep's wall clock; the digest is one pass, O(1) memory.
+    rows_key stays the test-suite form — on fixture-sized results it is
+    just as fast and its sorted rows give first-differing-row diagnostics.
+    Equivalence is property-tested in tests/test_harness_digest.py.
+    """
+    import hashlib
+
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    acc = 0
+    n = 0
+    for r in rows:
+        t = tuple(_norm(r[i]) for i in order)
+        h = hashlib.blake2b(repr(t).encode(), digest_size=16).digest()
+        acc = (acc + int.from_bytes(h, "big")) & ((1 << 128) - 1)
+        n += 1
+    return (n, acc)
+
+
 def assert_matches_oracle(spark_df, duck_con, sql, check_schema_names=True):
     sdf = spark_df.toPandas()
     odf = duck_con.execute(sql).df()
