@@ -503,13 +503,21 @@ def session_fold(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 # Upsert-sink bucket count. Scale note: size so one bucket ~= one target
 # parquet file for the table's key cardinality (at 100 TB: thousands); the
 # fixture tables hold <=50 keys, so 16 keeps several keys per bucket while
-# still exercising the partial-rewrite path.
-UPSERT_BUCKETS = 16
+# still exercising the partial-rewrite path. Env-overridable like the other
+# scale gates (SPARK_GRAFT_*) — but note the bucket count is baked into the
+# sink's directory layout: changing it for an EXISTING sink dir is a
+# re-bucketing migration, not a knob twist (merge correctness survives —
+# max-version-wins reads every touched key's rows back — but old rows keyed
+# under the previous pmod stop being co-located with new writes and would be
+# silently missed by the touched-bucket read). run_foreachbatch_upsert
+# therefore stamps the count into the sink dir and refuses a mismatched
+# resume; tests pin both properties.
+UPSERT_BUCKETS = int(os.environ.get("SPARK_GRAFT_UPSERT_BUCKETS", "16"))
 
 
-def _bucket_of(key_col):
+def _bucket_of(key_col, n_buckets: int):
     """Deterministic sink bucket for a key — pmod(xxhash64(key), N)."""
-    return F.pmod(F.xxhash64(key_col), F.lit(UPSERT_BUCKETS)).cast("int")
+    return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
 
 
 def run_foreachbatch_upsert(
@@ -529,25 +537,67 @@ def run_foreachbatch_upsert(
     bucket files are never read or rewritten — the per-batch cost term is
     O(touched buckets), not O(table) (r7's merge re-read and re-wrote the
     whole table every batch). The one driver-side step collects the batch's
-    DISTINCT bucket ids — bounded by UPSERT_BUCKETS, never by rows. This is
-    the fixture-scale stand-in for MERGE INTO; a transactional table format
-    (Delta/Iceberg) gives the same shape with file-level instead of
+    DISTINCT bucket ids — bounded by the bucket count, never by rows. This
+    is the fixture-scale stand-in for MERGE INTO; a transactional table
+    format (Delta/Iceberg) gives the same shape with file-level instead of
     bucket-level rewrite granularity, and the checkpoint makes redelivery
     idempotent either way.
+
+    Layout safety (r9, per ADVICE): the sink dir must be empty, absent, or
+    already in this sink's ``bucket=`` layout with the SAME bucket count.
+    A dir holding flat ``*.parquet`` files (e.g. a pre-r8 unbucketed sink)
+    fails LOUDLY instead of being treated as empty — the old behavior
+    silently dropped the existing rows from the merge and left a mixed
+    layout. The bucket count is stamped into ``_upsert_buckets`` on first
+    write and a resume with a different count (knob changed between runs)
+    also fails loudly: rows bucketed under the previous pmod would be
+    invisible to the touched-bucket read.
     """
     import os
 
     spark = folded.sparkSession
+    n_buckets = UPSERT_BUCKETS
+    stamp = os.path.join(out_dir, "_upsert_buckets")
+
+    def _check_layout_and_stamp():
+        if not os.path.isdir(out_dir):
+            return
+        entries = os.listdir(out_dir)
+        flat = [e for e in entries if e.endswith(".parquet")]
+        if flat:
+            raise ValueError(
+                f"upsert sink {out_dir!r} holds non-bucketed parquet files "
+                f"{flat[:3]}...: refusing to merge (rows outside bucket= "
+                "partitions would be silently dropped). Migrate the flat "
+                "layout first (read it, write with run_foreachbatch_upsert "
+                "into a fresh dir) or point the sink elsewhere."
+            )
+        if any(e.startswith("bucket=") for e in entries):
+            if not os.path.isfile(stamp):
+                raise ValueError(
+                    f"upsert sink {out_dir!r} has a bucket= layout but no "
+                    "_upsert_buckets stamp; cannot verify its bucket count "
+                    "matches this run's."
+                )
+            prev = int(open(stamp).read().strip())
+            if prev != n_buckets:
+                raise ValueError(
+                    f"upsert sink {out_dir!r} was written with "
+                    f"{prev} buckets but this run uses {n_buckets} "
+                    "(SPARK_GRAFT_UPSERT_BUCKETS changed): resuming would "
+                    "mis-route keys. Re-bucket the sink or restore the knob."
+                )
 
     def upsert(batch_df, batch_id):
         batch = batch_df.select("key", "state", "version").withColumn(
-            "bucket", _bucket_of(F.col("key"))
+            "bucket", _bucket_of(F.col("key"), n_buckets)
         )
         touched = [
             r.bucket for r in batch.select("bucket").distinct().collect()
         ]
         if not touched:
             return
+        _check_layout_and_stamp()
         if os.path.isdir(out_dir) and any(
             f.startswith("bucket=") for f in os.listdir(out_dir)
         ):
@@ -579,6 +629,9 @@ def run_foreachbatch_upsert(
             .partitionBy("bucket")
             .parquet(out_dir)
         )
+        if not os.path.isfile(stamp):
+            with open(stamp, "w") as f:
+                f.write(str(n_buckets))
 
     q = (
         folded.writeStream.foreachBatch(upsert)

@@ -26,9 +26,35 @@ HOST_BUNDLE = _protobuf._FALLBACK_DIRS[1]
 
 _PROBE = r"""
 import json, sys
+entries = json.loads(sys.argv[1])
+
+# Block any REAL google.* install for this probe, so the fallback entries
+# under test are exercised UNCONDITIONALLY. Without this, a host that has
+# protobuf installed lets ensure_protobuf() return True before probing the
+# zip and the test passes vacuously exactly where drift-proofing is meant
+# to be guaranteed (r8 ADVICE). The finder vetoes any google.* spec whose
+# origin resolves outside the entries under test; fallback-zip resolutions
+# (origin prefixed by the entry path) pass through untouched.
+import importlib.machinery as M
+
+class _BlockRealInstall:
+    def find_spec(self, name, path=None, target=None):
+        if name.split(".")[0] != "google":
+            return None
+        spec = M.PathFinder.find_spec(name, path)
+        if spec is not None and spec.origin and not any(
+            spec.origin.startswith(e) for e in entries
+        ):
+            raise ModuleNotFoundError(
+                "blocked real install: %s (%s)" % (name, spec.origin)
+            )
+        return spec
+
+sys.meta_path.insert(0, _BlockRealInstall())
+
 import mapreduce_simple_go_spark._protobuf as P
 
-P._FALLBACK_DIRS = tuple(json.loads(sys.argv[1]))
+P._FALLBACK_DIRS = tuple(entries)
 ok = P.ensure_protobuf()
 out = {"ensured": ok, "active": P.active_fallback_dir()}
 if ok:
@@ -64,10 +90,16 @@ def test_vendored_zip_alone_satisfies_gencode():
     """Registration survives removal of every HOST discovery path: the
     vendored zip alone resolves google.protobuf and pyspark's gencode
     roundtrips (this is the r8 drift-proofing directive's 'survives
-    removal of the first discovery path', with the host bundle gone)."""
+    removal of the first discovery path', with the host bundle gone).
+
+    The probe blocks any real google.protobuf install, so this assertion
+    is strict on EVERY host: the vendored zip must be the active runtime
+    (no silent real-install escape — r8 ADVICE flagged the old
+    `or active is None` clause as making the test vacuous exactly on
+    hosts with protobuf installed)."""
     out = _probe([VENDORED])
     assert out["ensured"] and out.get("roundtrip")
-    assert out["active"] == VENDORED or out["active"] is None  # real install wins if present
+    assert out["active"] == VENDORED
 
 
 def test_host_bundle_still_usable_where_present():
@@ -80,10 +112,11 @@ def test_host_bundle_still_usable_where_present():
 
 
 def test_no_fallbacks_no_crash():
-    """With every fallback gone ensure_protobuf reports False (or a real
-    install wins) — never raises; registration degrades, doesn't break."""
+    """With every fallback gone (and the real install blocked by the
+    probe) ensure_protobuf reports False — never raises; registration
+    degrades, doesn't break."""
     out = _probe([])
-    assert isinstance(out["ensured"], bool)
+    assert out["ensured"] is False and out["active"] is None
 
 
 def test_vendored_zip_is_first_fallback_and_exists():

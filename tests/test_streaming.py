@@ -757,6 +757,7 @@ def test_foreachbatch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
+    from mapreduce_simple_go_spark import streaming as streaming_mod
     from mapreduce_simple_go_spark.streaming import (
         _bucket_of,
         kv_append_state,
@@ -768,7 +769,7 @@ def test_foreachbatch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     buckets = {
         r.k: r.b
         for r in spark.createDataFrame([(ka,), (kb,)], "k string")
-        .select("k", _bucket_of(F.col("k")).alias("b"))
+        .select("k", _bucket_of(F.col("k"), streaming_mod.UPSERT_BUCKETS).alias("b"))
         .collect()
     }
     assert buckets[ka] != buckets[kb], "pick keys in distinct buckets"
@@ -814,3 +815,98 @@ def test_foreachbatch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert snapshot(buckets[kb]) != before_b, "touched bucket must change"
     got = sorted_rows(spark.read.parquet(out).select("key", "state"))
     assert got == [(ka, "A1"), (kb, "B1B2")]
+
+
+def _mini_upsert_drain(spark, tmp_path, rows, out, ckpt, tag="0"):
+    """One-batch upsert drain of literal KV ops (helper for the layout/knob
+    guard tests below)."""
+    import os
+
+    from mapreduce_simple_go_spark.streaming import (
+        kv_append_state,
+        run_foreachbatch_upsert,
+    )
+
+    src = tmp_path / f"src{tag}"
+    src.mkdir()
+    stage = tmp_path / f"stage_{tag}"
+    spark.createDataFrame(
+        rows, "seq long, key string, op string, value string"
+    ).coalesce(1).write.parquet(str(stage))
+    pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.link(stage / pfile, src / "drop0.parquet")
+    stream = (
+        spark.readStream.schema("seq long, key string, op string, value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_foreachbatch_upsert(kv_append_state(stream), out, ckpt)
+
+
+def test_foreachbatch_upsert_bucket_count_env_knob(spark, tmp_path, monkeypatch):
+    """UPSERT_BUCKETS is a knob (r9, per r8 verdict #4): a different bucket
+    count must still converge to max-version-wins state, and the sink layout
+    must actually use that count (bucket ids bounded by it, stamp recorded)."""
+    import os
+
+    from mapreduce_simple_go_spark import streaming as streaming_mod
+
+    monkeypatch.setattr(streaming_mod, "UPSERT_BUCKETS", 5)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _mini_upsert_drain(
+        spark,
+        tmp_path,
+        [(1, "a", "put", "A1"), (2, "b", "put", "B1"), (3, "a", "append", "A2")],
+        out,
+        ckpt,
+    )
+    got = sorted_rows(spark.read.parquet(out).select("key", "state"))
+    assert got == [("a", "A1A2"), ("b", "B1")]
+    bucket_ids = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(out)
+        if d.startswith("bucket=")
+    ]
+    assert bucket_ids and all(0 <= b < 5 for b in bucket_ids)
+    assert open(os.path.join(out, "_upsert_buckets")).read().strip() == "5"
+
+
+def test_foreachbatch_upsert_refuses_bucket_count_mismatch(spark, tmp_path, monkeypatch):
+    """Resuming an existing sink with a CHANGED bucket count must fail
+    loudly: rows bucketed under the previous pmod would be invisible to the
+    touched-bucket read (silent row loss), so the stamp guard refuses."""
+    import pytest as _pytest
+
+    from mapreduce_simple_go_spark import streaming as streaming_mod
+
+    out = str(tmp_path / "out")
+    _mini_upsert_drain(
+        spark, tmp_path, [(1, "a", "put", "A1")], out, str(tmp_path / "ckpt1"), tag="1"
+    )
+    monkeypatch.setattr(streaming_mod, "UPSERT_BUCKETS", 7)
+    with _pytest.raises(Exception, match="buckets"):
+        _mini_upsert_drain(
+            spark,
+            tmp_path,
+            [(2, "a", "append", "A2")],
+            out,
+            str(tmp_path / "ckpt2"),
+            tag="2",
+        )
+
+
+def test_foreachbatch_upsert_refuses_flat_parquet_layout(spark, tmp_path):
+    """A sink dir holding flat (non-bucketed) parquet files — e.g. a pre-r8
+    unbucketed sink — must fail loudly instead of being treated as empty
+    (r8 ADVICE: the old check silently dropped those rows from the merge
+    and left a mixed layout)."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [("a", "OLD", 1)], "key string, state string, version long"
+    ).coalesce(1).write.parquet(out)
+    with _pytest.raises(Exception, match="non-bucketed parquet"):
+        _mini_upsert_drain(
+            spark, tmp_path, [(2, "a", "append", "A2")], out, str(tmp_path / "ckpt")
+        )
