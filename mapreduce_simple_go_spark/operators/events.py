@@ -20,25 +20,28 @@ from ..sources import load_events
 SESSION_GAP_MIN = 30
 
 
-def _stage_events(sf_dir: str, dst_dir: str) -> None:
-    """Stage the events table into a stream-source dir — by SYMLINK.
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """Stream the events table IN PLACE from the fixture + its staged size.
 
-    The fixture's events.parquet is a single file at driver SFs but a
-    Spark-written DIRECTORY for the scaled local fixtures; the file-stream
-    source does not recurse, so directory part-files are linked flat.
-    Symlinks instead of copies (r8): the source fixtures are read-only and
-    outlive the drain, so a link has identical semantics and the 100x
-    fixture stops paying a ~187 MB copy per staged drain.
+    Returns ``(stream_df, input_bytes)``. Zero staging (r9): the fixture's
+    events.parquet is a single FILE at driver SFs (streamed from ``sf_dir``
+    with a filename ``pathGlobFilter``, so sibling tables are invisible to
+    the source) and a Spark-written DIRECTORY for the scaled fixtures
+    (streamed directly). Replaces the r8 symlink staging, which was
+    zero-copy but required a driver-local POSIX fixture path — this form
+    takes any URI the cluster's Hadoop conf resolves (r8 verdict #1), and
+    drops the per-drain scratch dir entirely. ``input_bytes`` (gates the
+    complete-mode sink) comes from the same FS API.
     """
+    from ..fsutil import du_bytes, is_dir
+    from ..streaming import stream_events
+
     src = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(src):
-        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
-        for i, f in enumerate(parts):
-            os.symlink(
-                os.path.join(src, f), os.path.join(dst_dir, f"events{i}.parquet")
-            )
+    if is_dir(spark, src):
+        stream = stream_events(spark, src)
     else:
-        os.symlink(src, os.path.join(dst_dir, "events.parquet"))
+        stream = stream_events(spark, sf_dir, glob="events.parquet")
+    return stream, du_bytes(spark, src)
 
 
 def _drain_staged(
@@ -54,12 +57,15 @@ def _drain_staged(
 ) -> DataFrame:
     """Shared stage-and-drain ritual for the streaming registry entries.
 
-    Stages a bounded source dir (the raw events table from ``sf_dir``, or
-    ``stage_df`` written as ONE parquet file so arrival order is its row
-    order), runs ``build(stream)`` through an availableNow drain into a
-    uuid-named memory sink, and returns ``select_sql`` (with ``{name}``
-    interpolated) over it — localCheckpointed so the temp view can be
-    dropped immediately. ``shuffle_partitions`` temporarily sizes the
+    Builds a bounded stream source (the raw events table streamed IN PLACE
+    from ``sf_dir``, or ``stage_df`` written as ONE parquet file to a
+    scratch dir so arrival order is its row order), runs ``build(stream)``
+    through an availableNow drain into a uuid-named memory sink, and
+    returns ``select_sql`` (with ``{name}`` interpolated) over it —
+    localCheckpointed so the temp view can be dropped immediately. All
+    probes/staging/cleanup go through fsutil (Hadoop FS API), so both
+    ``sf_dir`` and ``SPARK_GRAFT_SCRATCH_DIR`` may be URIs on any scheme
+    the deployment resolves. ``shuffle_partitions`` temporarily sizes the
     stateful shuffle to key cardinality (restored after the drain); the
     try/finally around the final SELECT means a post-drain failure can't
     leak the view into the catalog.
@@ -71,41 +77,39 @@ def _drain_staged(
     ever reused from parallel code, scope the override per-query instead
     (e.g. a dedicated session clone via ``spark.newSession()``).
     """
-    import shutil
-    import tempfile
     import uuid
 
+    from ..fsutil import delete as fs_delete
+    from ..fsutil import du_bytes, mkscratch
     from ..streaming import run_available_now, stream_events
 
-    root = tempfile.mkdtemp(prefix=prefix)
+    scratch = None
     try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
         if stage_df is not None:
-            stage = os.path.join(root, "stage")
+            # ONE parquet file (coalesce(1)) so arrival order is row order;
+            # streamed in place from the write dir via a glob — no
+            # driver-local copy step (r9, FS-agnostic staging)
+            scratch = mkscratch(spark, prefix)
+            stage = scratch.rstrip("/") + "/stage"
             stage_df.coalesce(1).write.mode("overwrite").parquet(stage)
-            pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-            shutil.copy(os.path.join(stage, pfile), os.path.join(src, "drop0.parquet"))
+            stream = stream_events(spark, stage, glob="*.parquet")
+            input_bytes = du_bytes(spark, stage)
         else:
-            _stage_events(sf_dir, src)
+            stream, input_bytes = _events_stream(spark, sf_dir)
         name = prefix + uuid.uuid4().hex[:8]
-        # staged-source size gates the complete-mode sink (memory below the
-        # threshold, parquet above) — os.stat follows the staging symlinks
-        input_bytes = sum(
-            os.stat(os.path.join(src, f)).st_size for f in os.listdir(src)
-        )
+        # staged-source size gates the complete-mode sink (memory below
+        # the threshold, parquet above)
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         try:
-            run_available_now(
-                build(stream_events(spark, src)), name, mode, input_bytes
-            )
+            run_available_now(build(stream), name, mode, input_bytes)
         finally:
             if shuffle_partitions is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if scratch is not None:
+            fs_delete(spark, scratch)
     try:
         out = spark.sql(select_sql.format(name=name)).localCheckpoint(eager=True)
     finally:
@@ -903,10 +907,9 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     google.protobuf dependency its driver worker imports (see note at the
     bottom of this file).
     """
-    import shutil
-    import tempfile
     import uuid
 
+    from .. import fsutil
     from .._protobuf import spark_worker_env
     from ..streaming import run_available_now, user_totals_tws
 
@@ -931,18 +934,21 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_provider = None
     spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
     ev = load_events(spark, sf_dir).select("ts", "user_id", "event_id")
-    root = tempfile.mkdtemp(prefix="ev_tws_q_")
+    # Staging through fsutil (r9): scratch may be a shared URI
+    # (SPARK_GRAFT_SCRATCH_DIR) and the per-file copy is an FS-to-FS
+    # Hadoop FileUtil copy, so the 3-drop multi-batch layout works off the
+    # driver's local disk too. Copy order stamps ascending mtimes — the
+    # file source's micro-batch order.
+    root = fsutil.mkscratch(spark, "ev_tws_q_")
     try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
+        src = root.rstrip("/") + "/src"
+        fsutil.mkdirs(spark, src)
         for i in range(3):
-            stage = os.path.join(root, f"stage{i}")
+            stage = root.rstrip("/") + f"/stage{i}"
             part = ev.filter(F.col("event_id") % 3 == i)
             part.coalesce(1).write.mode("overwrite").parquet(stage)
-            pfile = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-            shutil.copy(
-                os.path.join(stage, pfile), os.path.join(src, f"drop{i}.parquet")
-            )
+            pfile = fsutil.list_files(spark, stage, suffix=".parquet")[0]
+            fsutil.copy(spark, pfile, src + f"/drop{i}.parquet")
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -967,7 +973,7 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(_PROVIDER_KEY)
         else:
             spark.conf.set(_PROVIDER_KEY, prev_provider)
-        shutil.rmtree(root, ignore_errors=True)
+        fsutil.delete(spark, root)
 
 
 STREAM_TWS_SQL = """

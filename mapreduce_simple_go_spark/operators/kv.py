@@ -325,9 +325,12 @@ def kv_stream_final_state(
     by the stateful fold itself) — correct for any micro-batch split of
     the drain; sink row order is never consulted.
 
-    Staging (r8): the default single-batch drain does NOT rewrite the op
-    log — the events files are symlinked into a scratch source dir and
-    the op-log projection is applied to the STREAM DataFrame (the fold
+    Staging (r9): the default single-batch drain does NOT rewrite the op
+    log — the events table streams IN PLACE from the fixture (pathGlobFilter
+    for single-file fixtures, the part dir directly for scaled ones; any
+    URI works — replaces the r8 symlink staging, which needed a
+    driver-local POSIX path) and the op-log projection is applied to the
+    STREAM DataFrame (the fold
     sorts each micro-batch by seq internally, so file order and row order
     are both immaterial within one batch — and with no maxFilesPerTrigger
     an availableNow drain takes every listed file in one batch). That
@@ -343,32 +346,28 @@ def kv_stream_final_state(
     tests/test_streaming.py asserts n_files=3 produces the identical
     result.
     """
-    import glob
-    import shutil
-    import tempfile
     import uuid
 
+    from .. import fsutil
     from ..streaming import kv_append_state, run_available_now, stream_events
 
-    root = tempfile.mkdtemp(prefix="kv_stream_q_")
+    root = None
     try:
-        src = os.path.join(root, "src")
-        os.makedirs(src)
         if n_files <= 1:
-            # zero-copy staging: symlink the events parquet file(s) (driver
-            # fixtures are single files; scaled fixtures are part dirs)
+            # zero staging: stream the events table in place (driver
+            # fixtures are single files — filename glob; scaled fixtures
+            # are part dirs — streamed directly)
             path = os.path.join(sf_dir, "events.parquet")
-            files = (
-                [path]
-                if os.path.isfile(path)
-                else sorted(glob.glob(os.path.join(path, "*.parquet")))
+            ev = (
+                stream_events(spark, path)
+                if fsutil.is_dir(spark, path)
+                else stream_events(spark, sf_dir, glob="events.parquet")
             )
-            for i, f in enumerate(files):
-                os.symlink(f, os.path.join(src, f"drop{i}.parquet"))
-            stream = _ops_projection(stream_events(spark, src)).filter(
-                F.col("op") != "get"
-            )
+            stream = _ops_projection(ev).filter(F.col("op") != "get")
         else:
+            root = fsutil.mkscratch(spark, "kv_stream_q_")
+            src = root.rstrip("/") + "/src"
+            fsutil.mkdirs(spark, src)
             ops = kv_ops(spark, sf_dir).filter(F.col("op") != "get")
             # contiguous seq ranges: drop order = seq order, the stream's
             # arrival-order contract (out-of-order arrival is a different
@@ -382,15 +381,12 @@ def kv_stream_final_state(
                 for i in range(n_files)
             ]
             for i, part in enumerate(splits):
-                stage = os.path.join(root, f"stage{i}")
+                stage = root.rstrip("/") + f"/stage{i}"
                 part.coalesce(1).write.mode("overwrite").parquet(stage)
-                pfile = next(
-                    f for f in os.listdir(stage) if f.endswith(".parquet")
-                )
-                shutil.copy(
-                    os.path.join(stage, pfile),
-                    os.path.join(src, f"drop{i}.parquet"),
-                )
+                pfile = fsutil.list_files(spark, stage, suffix=".parquet")[0]
+                # sequential FS-to-FS copies stamp ascending mtimes — the
+                # file source's micro-batch order
+                fsutil.copy(spark, pfile, src + f"/drop{i}.parquet")
             stream = (
                 spark.readStream.schema(splits[0].schema)
                 .option("maxFilesPerTrigger", 1)
@@ -409,7 +405,8 @@ def kv_stream_final_state(
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if root is not None:
+            fsutil.delete(spark, root)
     # update-mode memory sink appends one row per (key, micro-batch);
     # the max-version emission per key is the final state. localCheckpoint
     # severs lineage from the memory-sink table so the temp view can be

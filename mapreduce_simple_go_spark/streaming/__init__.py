@@ -28,12 +28,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, src_dir: str, glob: str | None = None
+) -> DataFrame:
     """File-source stream over events parquet files in ``src_dir``.
 
     Schema is taken from a batch read of the same directory (file sources
     require an explicit schema); the nanosecond ``ts`` is normalized to
     TimestampType exactly like sources.load_events.
+
+    ``glob`` (a ``pathGlobFilter``) restricts the source to matching file
+    names — how single-file fixtures stream IN PLACE from a directory that
+    also holds other tables (r9; replaces the symlink staging, which
+    required a driver-local POSIX fixture path). ``src_dir`` may be any
+    URI the cluster's Hadoop conf resolves.
     """
     # Same session-independence contract as sources.load_events: the
     # fixture's ts physical type has varied across generations (NANOS-as-
@@ -42,8 +50,13 @@ def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(src_dir).schema
-    ev = spark.readStream.schema(schema).parquet(src_dir)
+    batch = spark.read
+    stream = spark.readStream
+    if glob is not None:
+        batch = batch.option("pathGlobFilter", glob)
+        stream = stream.option("pathGlobFilter", glob)
+    schema = batch.parquet(src_dir).schema
+    ev = stream.schema(schema).parquet(src_dir)
     return _normalize_ts(ev)
 
 
@@ -266,24 +279,23 @@ def run_available_now(
     caller passes None — the parquet path runs. Both sinks are
     hash-identical by construction (tests pin it).
 
-    Scratch-dir note (local mode): the parquet sink root comes from
-    ``tempfile.mkdtemp`` (driver-local), which is correct only when driver
-    and executors share a filesystem — i.e. local[*], this repo's target.
-    On a multi-node cluster set ``SPARK_GRAFT_SCRATCH_DIR`` to a shared
-    location (DBFS/NFS/object store) or executors would write to their own
-    local disks and the driver read-back would see partial data.
+    Scratch-dir note: the parquet sink root comes from ``fsutil.mkscratch``
+    — driver-local ``tempfile`` by default (correct for local[*], this
+    repo's test target); on a multi-node cluster set
+    ``SPARK_GRAFT_SCRATCH_DIR`` to a shared root (NFS/DBFS/object-store
+    URI — any scheme the Hadoop conf resolves; r9 made the sink write,
+    existence probe, and cleanup go through the Hadoop FS API so a URI
+    value actually works, where the old ``tempfile.mkdtemp(dir=...)`` +
+    ``os.listdir`` required a driver-local POSIX path).
     """
     if output_mode == "complete" and (
         input_bytes is None or input_bytes > _COMPLETE_MEMORY_MAX_BYTES
     ):
-        import shutil
-        import tempfile
+        from ..fsutil import delete as fs_delete
+        from ..fsutil import list_files, mkscratch
 
         spark = stream_df.sparkSession
-        sink = tempfile.mkdtemp(
-            prefix=f"{query_name}_sink_",
-            dir=os.environ.get("SPARK_GRAFT_SCRATCH_DIR"),
-        )
+        sink = mkscratch(spark, f"{query_name}_sink_")
         try:
             q = (
                 stream_df.writeStream.foreachBatch(
@@ -294,13 +306,13 @@ def run_available_now(
                 .start()
             )
             q.awaitTermination()
-            if any(f.endswith(".parquet") for f in os.listdir(sink)):
+            if list_files(spark, sink, suffix=".parquet"):
                 out = spark.read.parquet(sink)
             else:  # zero batches ran (empty bounded source)
                 out = spark.createDataFrame([], stream_df.schema)
             out.localCheckpoint(eager=True).createOrReplaceTempView(query_name)
         finally:
-            shutil.rmtree(sink, ignore_errors=True)
+            fs_delete(spark, sink)
         return
     q = (
         stream_df.writeStream.format("memory")
