@@ -7,6 +7,9 @@ the registry tail has on-record evidence too.
 
 Usage:  python scripts/self_correctness.py [out.json] [--only name1,name2]
 Env:    SPARK_GRAFT_TEST_SF_DIR (default /root/testdata/sf0.01)
+        SPARK_GRAFT_ORACLE_CACHE=0 to disable the oracle-result cache
+        (content-keyed on fixture digest + SQL hash — see oracle_cache.py;
+        Spark results are NEVER cached, the engine runs every sweep)
 """
 
 from __future__ import annotations
@@ -19,6 +22,9 @@ import traceback
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import oracle_cache  # noqa: E402
 
 from mapreduce_simple_go_spark.operators import all_oracles, all_queries  # noqa: E402
 from mapreduce_simple_go_spark.session import get_spark  # noqa: E402
@@ -45,6 +51,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
         )
     queries, oracles = all_queries(), all_oracles()
+    fix_digest = oracle_cache.fixture_digest(sf_dir, TABLES)
     results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only is not None and name not in only:
@@ -63,22 +70,40 @@ def main() -> int:
             t0 = time.monotonic()
             sdf = fn(spark, sf_dir).toPandas()
             rec["spark_s"] = round(time.monotonic() - t0, 2)
-            t0 = time.monotonic()
-            odf = duck.execute(oracles[name]).df()
-            rec["oracle_s"] = round(time.monotonic() - t0, 2)
-            rec["spark_rows"], rec["oracle_rows"] = len(sdf), len(odf)
-            rec["rows_match"] = len(sdf) == len(odf)
-            rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+            sql = oracles[name]
+            cached = oracle_cache.get(fix_digest, sql)
+            if cached is not None:
+                # content-keyed hit: same fixture bytes + same oracle SQL
+                # as a previous sweep — the stored (rows, columns, digest)
+                # ARE that oracle run's verdict material (r8 directive 7;
+                # the Spark side above always ran fresh)
+                o_n = cached["rows"]
+                o_cols = cached["columns"]
+                o_dig = tuple(cached["digest"])
+                rec["oracle_s"] = cached["oracle_s"]
+                rec["oracle_cached"] = True
+            else:
+                t0 = time.monotonic()
+                odf = duck.execute(sql).df()
+                rec["oracle_s"] = round(time.monotonic() - t0, 2)
+                o_n, o_cols = len(odf), list(odf.columns)
+                o_dig = rows_digest(
+                    o_cols, odf.itertuples(index=False, name=None)
+                )
+                oracle_cache.put(
+                    fix_digest, sql, o_n, o_cols, o_dig, rec["oracle_s"]
+                )
+                odf = None
+            rec["spark_rows"], rec["oracle_rows"] = len(sdf), o_n
+            rec["rows_match"] = len(sdf) == o_n
+            rec["schema_match"] = sorted(sdf.columns) == sorted(o_cols)
             # multiset digest, equality-equivalent to the sorted rows_key
             # form (see conftest.rows_digest) — one pass, O(1) memory; the
             # tuple sort dominated the sf10 sweep's wall clock through r8
             s_rows = rows_digest(
                 list(sdf.columns), sdf.itertuples(index=False, name=None)
             )
-            o_rows = rows_digest(
-                list(odf.columns), odf.itertuples(index=False, name=None)
-            )
-            rec["hash_match"] = s_rows == o_rows
+            rec["hash_match"] = s_rows == o_dig
         except Exception:
             rec["err"] = traceback.format_exc(limit=3)
         results[name] = rec
