@@ -41,9 +41,14 @@ class Engine:
     # -- reference-parity MapReduce surface --------------------------------
 
     def map_reduce(
-        self, inputs: DataFrame, mapf: MapF, reducef: ReduceF, n_reduce: int = 10
+        self,
+        inputs: DataFrame,
+        mapf: MapF,
+        reducef: ReduceF,
+        n_reduce: int = 10,
+        combinef: ReduceF | None = None,
     ) -> DataFrame:
-        return map_reduce_kv(self.spark, inputs, mapf, reducef, n_reduce)
+        return map_reduce_kv(self.spark, inputs, mapf, reducef, n_reduce, combinef)
 
     def map_reduce_files(
         self, path_glob: str, mapf: MapF, reducef: ReduceF, n_reduce: int = 10

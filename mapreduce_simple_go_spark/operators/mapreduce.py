@@ -34,12 +34,19 @@ ReduceF = Callable[[str, list[str]], str]
 DEFAULT_N_REDUCE = 10  # the reference's hard-coded R (mrcoordinator.go:23)
 
 
+# Map-side partial values per key accumulated before an in-flight combine
+# collapses them — bounds combiner memory to O(distinct keys per partition)
+# regardless of per-key fan-out.
+_COMBINE_CHUNK = 1024
+
+
 def map_reduce_kv(
     spark: SparkSession,
     inputs: DataFrame,
     mapf: MapF,
     reducef: ReduceF,
     n_reduce: int = DEFAULT_N_REDUCE,
+    combinef: ReduceF | None = None,
 ) -> DataFrame:
     """Run a MapReduce job over (key, value) input rows.
 
@@ -48,11 +55,41 @@ def map_reduce_kv(
     contents), matching the reference's map contract (wc.go:14-20).
     Returns a DataFrame with columns (key, value), the reference's
     ``mr-out-*`` content (worker.go:145) as rows instead of text lines.
+
+    ``combinef`` (opt-in, r9): a map-side combiner with the REDUCE
+    signature, applied per map partition before the shuffle — the standard
+    Hadoop combiner contract the reference deliberately lacks (worker.go:
+    92-94 ships every map emission across the partition boundary; with no
+    combiner this veneer faithfully reproduces that). Requirements, same
+    as Hadoop's: ``combinef`` may run ZERO OR MORE times over ANY grouping
+    of a key's values (including singletons), its output must be valid
+    input to both itself and ``reducef``, and the composition must be
+    associative — e.g. word count as sum-of-partials (``wc_combine``), NOT
+    the reference's len-of-values ``wc_reduce``, which breaks under
+    pre-aggregation. Scale effect: shuffle bytes drop from O(map
+    emissions) to O(distinct keys x map partitions) — the same win the
+    named DataFrame operators get for free from Catalyst's partial
+    aggregation, now available to raw-UDF jobs (differentially tested:
+    combiner on == combiner off == DuckDB oracle).
     """
     c0, c1 = inputs.columns[0], inputs.columns[1]
     rdd = inputs.select(c0, c1).rdd.map(lambda r: (r[0], r[1]))
+    mapped = rdd.flatMap(lambda kv: mapf(kv[0], kv[1]))
+    if combinef is not None:
+
+        def _partition_combine(it):
+            acc: dict[str, list[str]] = {}
+            for k, v in it:
+                bucket = acc.setdefault(k, [])
+                bucket.append(v)
+                if len(bucket) >= _COMBINE_CHUNK:
+                    acc[k] = [combinef(k, bucket)]
+            for k, vs in acc.items():
+                yield (k, combinef(k, vs))
+
+        mapped = mapped.mapPartitions(_partition_combine)
     out = (
-        rdd.flatMap(lambda kv: mapf(kv[0], kv[1]))
+        mapped
         .groupByKey(numPartitions=n_reduce)
         .map(lambda kv: (kv[0], reducef(kv[0], list(kv[1]))))
     )
@@ -102,8 +139,21 @@ def wc_map(_filename: str, contents: str) -> list[KeyValue]:
 
 
 def wc_reduce(_key: str, values: list[str]) -> str:
-    """wc.go:41-44 — count of occurrences."""
+    """wc.go:41-44 — count of occurrences.
+
+    NOT combiner-safe (len over pre-combined partials undercounts); the
+    combiner-compatible form is :func:`wc_sum_reduce` used as both
+    ``reducef`` and ``combinef``.
+    """
     return str(len(values))
+
+
+def wc_sum_reduce(_key: str, values: list[str]) -> str:
+    """Combiner-compatible word count: values are decimal counts ("1" from
+    the mapper, partial sums from any combine round); output is their sum.
+    Usable as BOTH reducef and combinef — sum is associative and its
+    output re-enters its own domain, the Hadoop combiner contract."""
+    return str(sum(int(v) for v in values))
 
 
 def indexer_map(filename: str, contents: str) -> list[KeyValue]:

@@ -132,3 +132,46 @@ def test_native_udtf_matches_flatmap_tokenizer(spark):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     spark.catalog.dropTempView("udtf_docs")
+
+
+def test_wc_combiner_on_equals_off_equals_oracle(engine, doc_inputs, spark, duck):
+    """Opt-in map-side combiner (r9): the sum-form word count with the
+    combiner ON must equal the same job with the combiner OFF, the
+    reference-form job (len-reduce, no combiner), and the DuckDB oracle —
+    the reference's own differential methodology (test-mr.sh:66-98)
+    applied to the new knob."""
+    from mapreduce_simple_go_spark.operators.text import WORD_COUNT_SQL
+
+    on = engine.map_reduce(
+        doc_inputs, mr.wc_map, mr.wc_sum_reduce, n_reduce=8,
+        combinef=mr.wc_sum_reduce,
+    )
+    off = engine.map_reduce(doc_inputs, mr.wc_map, mr.wc_sum_reduce, n_reduce=8)
+    ref_form = engine.map_reduce(doc_inputs, mr.wc_map, mr.wc_reduce, n_reduce=8)
+    rows_on = sorted_rows(on)
+    assert rows_on == sorted_rows(off) == sorted_rows(ref_form)
+    want = sorted((w, str(c)) for w, c in duck.execute(WORD_COUNT_SQL).fetchall())
+    assert rows_on == want
+
+
+def test_combiner_shrinks_shuffle(doc_inputs):
+    """The combiner's reason to exist, measured: the record count crossing
+    the shuffle drops from one-per-map-emission to at most (distinct keys
+    x map partitions). Counts the exact pre-shuffle RDD the combiner path
+    builds (same _partition_combine, via a public-surface replica)."""
+    rdd = doc_inputs.rdd.map(lambda r: (r[0], r[1]))
+    mapped = rdd.flatMap(lambda kv: mr.wc_map(kv[0], kv[1]))
+    n_emissions = mapped.count()
+    n_partitions = mapped.getNumPartitions()
+
+    def _combine(it):
+        acc = {}
+        for k, v in it:
+            acc.setdefault(k, []).append(v)
+        for k, vs in acc.items():
+            yield (k, mr.wc_sum_reduce(k, vs))
+
+    n_combined = mapped.mapPartitions(_combine).count()
+    n_distinct = mapped.keys().distinct().count()
+    assert n_combined <= n_distinct * n_partitions
+    assert n_combined < n_emissions / 5, (n_combined, n_emissions)
