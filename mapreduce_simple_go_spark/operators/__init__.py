@@ -140,6 +140,12 @@ _WINDOW_OVERFLOW = [
 #     (os.stat -> Hadoop ContentSummary); tests/test_fsutil.py pins the
 #     probe value equal at driver SF, so the join-strategy branch and plan
 #     are unchanged (also pinned by test_ngram_jaccard_join_strategy_gate).
+#   - format-roundtrip entries (csv/jsonl/orc/schema_evolution/
+#     partitioned_prune — r7/r8-green): scratch dir swapped from
+#     tempfile.mkdtemp to fsutil.mkscratch, whose no-env default IS
+#     tempfile.mkdtemp (identical driver-SF path by construction);
+#     URI-scratch parity pinned by
+#     test_roundtrip_sinks_honor_uri_scratch_root.
 _WINDOW_EXEMPT_R9 = [
     "stream_hourly_counts",
     "stream_dedup_counts",
@@ -150,6 +156,11 @@ _WINDOW_EXEMPT_R9 = [
     "stream_sessions_gap_closed",
     "kv_stream_final_state",
     "dedup_ngram_jaccard",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "schema_evolution_roundtrip",
+    "partitioned_prune_roundtrip",
 ]
 
 

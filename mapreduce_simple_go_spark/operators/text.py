@@ -371,11 +371,10 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computes from the parquet original: any drop, duplication or
     field corruption in the sink/source pair breaks the hash.
     """
-    import shutil
-    import tempfile
+    from .. import fsutil
 
     d = _docs(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="jsonl_rt_")
+    root = fsutil.mkscratch(spark, "jsonl_rt_")
     try:
         path = os.path.join(root, "docs")
         d.write.mode("overwrite").json(path)
@@ -393,7 +392,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        fsutil.delete(spark, root)
 
 
 JSONL_ROUNDTRIP_SQL = """
@@ -414,11 +413,10 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the parquet original — the driver's hash gate catches any loss or
     type corruption in the ORC writer/reader pair.
     """
-    import shutil
-    import tempfile
+    from .. import fsutil
 
     d = _docs(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="orc_rt_")
+    root = fsutil.mkscratch(spark, "orc_rt_")
     try:
         path = os.path.join(root, "docs")
         d.write.mode("overwrite").orc(path)
@@ -433,7 +431,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        fsutil.delete(spark, root)
 
 
 QUERIES["orc_roundtrip"] = orc_roundtrip
@@ -597,11 +595,10 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned to the double-quote convention both writers and DuckDB agree
     on; emptyValue distinguishes '' from NULL so the roundtrip is lossless.
     """
-    import shutil
-    import tempfile
+    from .. import fsutil
 
     d = _docs(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="csv_rt_")
+    root = fsutil.mkscratch(spark, "csv_rt_")
     try:
         path = os.path.join(root, "docs")
         (
@@ -629,7 +626,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        fsutil.delete(spark, root)
 
 
 QUERIES["csv_roundtrip"] = csv_roundtrip
@@ -648,11 +645,10 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merged result with a COALESCE backfill; the oracle reproduces it
     from the original table (even doc_ids = generation-1 rows).
     """
-    import shutil
-    import tempfile
+    from .. import fsutil
 
     d = _docs(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="schev_rt_")
+    root = fsutil.mkscratch(spark, "schev_rt_")
     try:
         path = os.path.join(root, "docs")
         gen1 = d.filter(F.col("doc_id") % 2 == 0).select(
@@ -672,7 +668,7 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        fsutil.delete(spark, root)
 
 
 SCHEMA_EVOLUTION_SQL = """
@@ -701,11 +697,10 @@ def partitioned_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves partition-column values survive the directory-encoding
     roundtrip.
     """
-    import shutil
-    import tempfile
+    from .. import fsutil
 
     d = _docs(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="part_rt_")
+    root = fsutil.mkscratch(spark, "part_rt_")
     try:
         path = os.path.join(root, "docs")
         d.write.mode("overwrite").partitionBy("lang").parquet(path)
@@ -720,7 +715,7 @@ def partitioned_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        fsutil.delete(spark, root)
 
 
 PARTITIONED_PRUNE_SQL = """

@@ -124,3 +124,21 @@ def test_queries_hash_identical_under_file_uri(spark, name):
 
     fn = all_queries()[name]
     assert _digest(fn(spark, SF_DIR)) == _digest(fn(spark, SF_URI))
+
+
+@pytest.mark.parametrize("name", ["csv_roundtrip", "schema_evolution_roundtrip"])
+def test_roundtrip_sinks_honor_uri_scratch_root(spark, tmp_path, monkeypatch, name):
+    """The format-roundtrip entries write their sink through
+    fsutil.mkscratch (r9): with SPARK_GRAFT_SCRATCH_DIR set to a
+    file:-scheme URI the whole write/read-back/cleanup cycle must run
+    through the FS API and hash-match the default driver-local run."""
+    from mapreduce_simple_go_spark.operators import all_queries
+
+    fn = all_queries()[name]
+    base = _digest(fn(spark, SF_DIR))
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_DIR", "file:" + str(tmp_path / "sr"))
+    fsutil.mkdirs(spark, "file:" + str(tmp_path / "sr"))
+    assert _digest(fn(spark, SF_DIR)) == base
+    # cleanup ran: the scratch root holds no leftover roundtrip dirs
+    leftovers = fsutil.list_files(spark, "file:" + str(tmp_path / "sr"))
+    assert leftovers == [], leftovers
