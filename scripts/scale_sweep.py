@@ -63,6 +63,16 @@ DEFAULT_QUERIES = [
 ]
 
 
+# Materialization method for the timed region. Default: len(collect()) —
+# the bench protocol. "topandas" matches self_correctness.py's Arrow-path
+# timing instead; the law vetter sets it so isolated re-measures are
+# method-comparable with the in-sweep spark_s points (collect's py4j row
+# transfer costs ~10 s per million output rows, so a collect-based
+# re-measure of a big-output entry can NEVER clear a toPandas-measured
+# flag — scd2_user_state at sf10 demonstrated exactly this in r9).
+_METHOD = os.environ.get("SPARK_GRAFT_SWEEP_METHOD", "collect")
+
+
 def timed(fn, spark, sf_dir, passes):
     import gc
 
@@ -71,7 +81,10 @@ def timed(fn, spark, sf_dir, passes):
     for _ in range(passes):
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
-        rows = len(df.collect())
+        if _METHOD == "topandas":
+            rows = len(df.toPandas())
+        else:
+            rows = len(df.collect())
         best = min(best, time.monotonic() - t0)
         spark.catalog.clearCache()
         df = None

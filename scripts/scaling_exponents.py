@@ -69,6 +69,10 @@ def _vet_row(row: dict) -> None:
     env["SPARK_GRAFT_SWEEP_SMALL"] = os.path.join(REPO, ".localdata", "sf1")
     env["SPARK_GRAFT_SWEEP_BIG"] = os.path.join(REPO, ".localdata", "sf10")
     env["SPARK_GRAFT_SWEEP_FACTOR"] = "10"
+    # method-comparable with the in-sweep spark_s the law is fit from
+    # (toPandas/Arrow); a collect() re-measure pays py4j row transfer and
+    # can't clear a flag on a big-output entry
+    env["SPARK_GRAFT_SWEEP_METHOD"] = "topandas"
     r = subprocess.run(
         [
             sys.executable,
