@@ -76,6 +76,116 @@ def _sf_of(sf_dir: str) -> float:
     return float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Noise-defense knobs (r10, per r9 verdict #2: the r9 driver artifact read
+# +17.5% vs r8 purely from host noise — uniform inflation across untouched
+# code, contradicted by isolated re-measures; scale_sweep.py grew this
+# defense in r9, bench.py inherits it here). A query re-measures when it is
+# BOTH >RATIO x its prior driver number AND >FLOOR s absolute over it —
+# the floor keeps 0.1 s -> 0.14 s scheduler jitter from burning a fresh
+# JVM on a query whose absolute cost is noise-sized either way.
+_REMEASURE_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_REMEASURE_RATIO", "1.25"))
+_REMEASURE_FLOOR_S = float(os.environ.get("SPARK_GRAFT_BENCH_REMEASURE_FLOOR", "0.3"))
+
+
+def _prior_numbers(sf: float) -> dict[str, float]:
+    """Per-query priors: elementwise MIN over the two newest committed
+    driver bench artifacts at the SAME scale factor.
+
+    min(last two) ~= the last CLEAN record even when one of the two was
+    noise-inflated (exactly the r8/r9 situation), and it self-maintains:
+    next round the pair rolls forward. Env override for a pinned prior:
+    SPARK_GRAFT_BENCH_PRIOR=path.json.
+    """
+    import glob
+    import re
+
+    override = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
+    paths = (
+        [override]
+        if override
+        else sorted(
+            glob.glob(os.path.join(REPO, "BENCH*_r*.json")),
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        )
+    )
+    prior: dict[str, float] = {}
+    used = 0
+    for p in reversed(paths):
+        try:
+            with open(p) as f:
+                art = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # driver artifacts wrap the parsed tail line under "parsed" (its
+        # queries dict is TRIMMED to the slowest ~50 — fine: cheap queries
+        # below the trim also sit below the re-measure floor)
+        if "parsed" in art and isinstance(art["parsed"], dict):
+            art = art["parsed"]
+        if abs(float(art.get("sf", -1)) - sf) > 1e-9:
+            continue
+        qs = art.get("queries") or {}
+        for name, sec in qs.items():
+            prior[name] = min(prior.get(name, float("inf")), float(sec))
+        used += 1
+        if used == 2:
+            break
+    return prior
+
+
+def _isolated_remeasure(name: str, sf_dir: str, passes: int) -> float | None:
+    """Best-of-N for ONE query in a fresh subprocess session. Returns the
+    isolated seconds, or None if the subprocess failed."""
+    import subprocess
+    import tempfile
+
+    fd, out = tempfile.mkstemp(suffix=".json", prefix="benchre_")
+    os.close(fd)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name, "--out", out],
+            env={
+                **os.environ,
+                "SPARK_GRAFT_SF_DIR": sf_dir,
+                "SPARK_GRAFT_BENCH_PASSES": str(passes),
+            },
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        if r.returncode != 0 or not os.path.getsize(out):
+            print(f"# remeasure {name}: subprocess failed\n{r.stderr[-400:]}",
+                  file=sys.stderr)
+            return None
+        with open(out) as f:
+            return json.load(f)["sec"]
+    finally:
+        os.unlink(out)
+
+
+def _one_query_main(name: str, out_path: str) -> None:
+    """`bench.py --one NAME --out P`: time one query (same warmup + best-of
+    protocol) in this fresh session and write {"query","sec","rows"}."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    spark = get_spark(app_name="bench-one")
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).selectExpr(
+        "sum(length(text))"
+    ).collect()
+    spark.range(32).mapInPandas(lambda it: it, schema="id long").collect()
+    fn = all_queries()[name]
+    best, rows = float("inf"), 0
+    for _ in range(passes):
+        t0 = time.monotonic()
+        rows = len(fn(spark, sf_dir).collect())
+        best = min(best, time.monotonic() - t0)
+        spark.catalog.clearCache()
+    with open(out_path, "w") as f:
+        json.dump({"query": name, "sec": round(best, 3), "rows": rows}, f)
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -93,6 +203,39 @@ def main() -> None:
     # noise; a third pass tightens the min estimator at ~50% extra wall.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings = run_suite(spark, sf_dir, passes=passes)
+
+    # Noise defense (r10): any entry reading >RATIO x AND >FLOOR s over its
+    # prior driver number gets a fresh-session re-measure BEFORE the
+    # artifact is written; both readings land in the artifact and the
+    # headline takes the min (both are best-of-N, so the smaller is the
+    # less-contaminated estimate — scale_sweep.py's vetting rule).
+    remeasured: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_REMEASURE", "1") != "0":
+        prior = _prior_numbers(_sf_of(sf_dir))
+        flagged = sorted(
+            n
+            for n, t in timings.items()
+            if n in prior
+            and t > prior[n] * _REMEASURE_RATIO
+            and t - prior[n] > _REMEASURE_FLOOR_S
+        )
+        for name in flagged:
+            print(
+                f"# remeasure {name}: {timings[name]}s vs prior "
+                f"{prior[name]}s — isolating...",
+                file=sys.stderr,
+                flush=True,
+            )
+            iso = _isolated_remeasure(name, sf_dir, passes=2)
+            if iso is None:
+                continue
+            remeasured[name] = {
+                "in_suite": timings[name],
+                "isolated": iso,
+                "prior": prior[name],
+            }
+            timings[name] = min(timings[name], iso)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_query_seconds",
@@ -101,6 +244,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_of(sf_dir),
     }
+    if remeasured:
+        out["remeasured"] = remeasured
     # Second scale factor: scaling behavior round-over-round (a query whose
     # sf0.1/sf0.01 ratio blows up has a plan that stopped scaling). Opt-out
     # via SPARK_GRAFT_BENCH_SECONDARY=""; skipped when it equals the primary.
@@ -138,4 +283,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[1] == "--one" and sys.argv[3] == "--out":
+        _one_query_main(sys.argv[2], sys.argv[4])
+    else:
+        main()

@@ -105,6 +105,64 @@ def delete(spark: SparkSession, uri: str) -> None:
         pass
 
 
+def file_size(spark: SparkSession, uri: str) -> int:
+    """Byte length of ONE file (getFileStatus, no recursion)."""
+    fs, p = _fs_path(spark, uri)
+    return int(fs.getFileStatus(p).getLen())
+
+
+def du_suffix_bytes(spark: SparkSession, uri: str, suffix: str) -> int:
+    """Bytes in ``uri`` counting ONLY the data files: a plain file's own
+    length, or the sum over direct children ending in ``suffix``.
+
+    The data-only sibling of :func:`du_bytes` for size GATES: a Spark sink
+    dir also holds ``_SUCCESS`` (and ``.crc`` siblings on the local FS)
+    which ContentSummary counts — harmless for reporting, but a gate
+    compared against a byte threshold should see the same number whether
+    the input is one fixture file or a committed sink dir (r9 ADVICE:
+    the events complete-mode memory-vs-parquet gate drifted ~1% when it
+    switched to ContentSummary).
+    """
+    fs, p = _fs_path(spark, uri)
+    st = fs.getFileStatus(p)
+    if not st.isDirectory():
+        return int(st.getLen())
+    return sum(
+        int(c.getLen())
+        for c in fs.listStatus(p)
+        if c.getPath().getName().endswith(suffix)
+    )
+
+
+def read_text(spark: SparkSession, uri: str) -> str:
+    """Read a small control file (stamps, markers) as UTF-8 via the FS API
+    — works for any scheme, unlike ``open()`` which silently requires the
+    driver to share a POSIX view of the sink."""
+    fs, p = _fs_path(spark, uri)
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            out.append(b)
+        return out.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, uri: str, text: str) -> None:
+    """Write a small control file atomically enough for a stamp (create
+    w/ overwrite) via the FS API."""
+    fs, p = _fs_path(spark, uri)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
 def mkscratch(spark: SparkSession, prefix: str) -> str:
     """A fresh scratch directory usable by BOTH driver and executors.
 

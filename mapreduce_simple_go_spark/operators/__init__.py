@@ -50,117 +50,101 @@ def _modules():
 # take a slot. Overflow from the staleness rotation goes to
 # _WINDOW_OVERFLOW (positions 51+, the head of the NEXT round's window).
 _WINDOW_PRIORITY = [
-    # --- round 9 window: the two forced insertions first, then the 48-of-50
-    # r6-stale block (events/relational/dedup/similarity families — computed
-    # by union over CORRECTNESS_r01..r08; after this round no entry's
-    # verdict predates r7 except the two overflow names below).
-    #
-    # Forced insertion 1 (r8 ADVICE): stream_user_totals_tws's worker-side
-    # zip handling changed in r8 WITHOUT re-windowing — a policy violation
-    # the ADVICE flagged. Its staging also changed this round (fsutil).
-    "stream_user_totals_tws",
-    # Forced insertion 2 (r8 ADVICE): the r8 IS-NOT-DISTINCT-FROM edit to
-    # duck_assign_ctes changed this entry's ORACLE without a fresh driver
-    # verdict. The other three dependents (ann_ivf_topk,
-    # ann_ivf_topk_multiprobe, embedding_near_dup) sit in the r6 block
-    # below and get their fresh verdicts through the normal rotation.
-    "embedding_near_dup_ivf",
-    # --- last driver-checked in round 6
-    "inverted_index",
-    "per_file_metrics",
-    "count_per_key",
-    "doc_chunks",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "q4_order_priority",
-    "top_customers_per_nation",
-    "revenue_by_month",
-    "q6_forecast_revenue",
-    "rollup_order_revenue",
-    "set_ops_customers",
-    "distinct_parts_per_supplier",
-    "cube_order_stats",
-    "median_order_by_segment",
-    "customers_never_ordered",
-    "parts_above_brand_avg",
-    "customer_balance_quartiles",
-    "rolling_7day_revenue",
-    "dedup_exact",
-    "dedup_minhash_lsh",
+    # --- round 10 window (r9 verdict #1): the two r6-overflow names first
+    # (designated heads of this window since r9), then the full 47-entry
+    # r7-stale block (computed by union over CORRECTNESS_r01..r09: after
+    # this round no entry's last driver verdict predates r8), then the one
+    # entry whose CODE changes this round. Exactly 50.
+    "order_price_histogram",
+    "supplier_balance_dist",
+    # --- last driver-checked in round 7 (streaming-adjacent batch twins,
+    # format roundtrips, curation, textstats, multimodal, the q-suite tail)
+    "ann_srp_topk",
+    "bm25_scores",
+    "chunk_dedup",
+    "curation_pipeline",
+    "decontaminate_overlap",
+    "dedup_incremental",
+    "dedup_minhash_incremental",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_split_assign",
+    "embedding_quantize_error",
+    "fuzzy_name_matches",
+    "inverted_index_positional",
+    "jsonl_roundtrip",
+    "kmeans_clusters",
+    "label_centroids",
+    "lang_id",
+    "length_bucket_batches",
+    "multimodal_dedup",
+    "multimodal_features",
+    "multimodal_frame_features",
+    "multimodal_resize",
+    "ngram_counts",
+    "orc_roundtrip",
+    "pack_sequences",
+    "pii_scrub",
+    "q11_important_stock",
+    "q12_ship_delay_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "quality_filter",
+    "quality_model_score",
+    "range_join_brackets",
+    "repetition_filter",
+    "sample_per_stratum",
+    "stratified_sample",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_stats",
+    "word_cooccurrence_pmi",
+    "word_pagerank",
+    # --- code changed this round (r10): the registry entry now runs the
+    # size-gated exact two-stage form above the brute-force crossover
+    # (r9 verdict #3); exact semantics, so the oracle is unchanged, but a
+    # changed plan needs a fresh driver verdict per the window policy.
     "ann_cosine_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_bracket_revenue",
-    "grouping_sets_revenue",
-    "sketch_distinct_accuracy",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q22_global_sales_opportunity",
-    "salted_segment_revenue",
-    "sketch_percentile_accuracy",
-    "kv_shard_distribution",
-    "dedup_clusters",
-    "embedding_norm_stats",
-    "multimodal_audio_stats",
-    "training_corpus_pipeline",
-    "data_profile_orders",
-    "dedup_clusters_distributed",
-    "dedup_keep_best",
-    "dedup_minhash_lsh_salted",
-    "ann_ivf_topk_multiprobe",
-    "q3_bucketed_ingest",
-    "multimodal_audio_wav",
 ]
 assert len(_WINDOW_PRIORITY) <= 50, len(_WINDOW_PRIORITY)
 
-# The two r6-block entries displaced by the forced insertions (positions
-# 51-52 — immediately after the window, and the HEAD of the r10 window).
-# Chosen as the lowest-risk roll-overs in the block: single-table
-# aggregations with unchanged code since their r6 verdict and dedicated
-# pytest oracle-parity coverage every round.
-_WINDOW_OVERFLOW = [
-    "order_price_histogram",
-    "supplier_balance_dist",
-]
+# No staleness overflow this round: 2 (r6 heads) + 47 (r7 block) + 1
+# (code-changed ann_cosine_topk) is exactly 50. The r11 window is the
+# r8-stale block (49 names after this round's verdicts land).
+_WINDOW_OVERFLOW: list[str] = []
 
-# r9 code-changed entries EXEMPTED from the window under the capacity rule
-# (all r7/r8 driver-green; all hash-green in the r9 four-SF self-sweeps):
-#   - FS-agnostic staging rework (events/kv/streaming + fsutil): the change
-#     is pinned behavior-identical by tests/test_fsutil.py, which hashes
-#     each staging family end-to-end under file:-URI fixtures against the
-#     plain-path run (stream_hourly_counts, stream_dedup_counts,
-#     stream_enriched_counts, stream_sliding_counts,
-#     stream_click_purchase_join, stream_session_window_native,
-#     stream_sessions_gap_closed, kv_stream_final_state — all r8-green).
-#   - dedup_ngram_jaccard (r8-green): only the size PROBE changed
-#     (os.stat -> Hadoop ContentSummary); tests/test_fsutil.py pins the
-#     probe value equal at driver SF, so the join-strategy branch and plan
-#     are unchanged (also pinned by test_ngram_jaccard_join_strategy_gate).
-#   - format-roundtrip entries (csv/jsonl/orc/schema_evolution/
-#     partitioned_prune — r7/r8-green): scratch dir swapped from
-#     tempfile.mkdtemp to fsutil.mkscratch, whose no-env default IS
-#     tempfile.mkdtemp (identical driver-SF path by construction);
-#     URI-scratch parity pinned by
-#     test_roundtrip_sinks_honor_uri_scratch_root.
-_WINDOW_EXEMPT_R9 = [
+# r10 code-changed entries EXEMPTED from the window under the capacity
+# rule (all hold r8/r9 driver-green verdicts; all must be hash-green in
+# the r10 four-SF self-sweeps at HEAD):
+#   - events complete-mode size probe (r9 ADVICE): du_bytes
+#     (ContentSummary, counts _SUCCESS/.crc) -> du_suffix_bytes
+#     (*.parquet children only) in _events_stream/_drain_staged. Affects
+#     the 7 _drain_staged stream entries below. Behavior-neutral: the
+#     probe only picks the complete-mode SINK (memory vs parquet) and the
+#     output is hash-identical either way (pinned in r9 by the driver-
+#     green rows on both sides of the gate); the probe-value equivalence
+#     (new probe == the original per-*.parquet stat sum, on both a plain
+#     file and a Spark-written dir) is pinned by
+#     tests/test_fsutil.py::test_du_suffix_bytes_matches_stat_sum.
+#   - stream_user_totals_tws (r9 driver-green, was windowed r9): drain
+#     shaved per r9 verdict #5 — semantics pinned by
+#     test_tws_totals_converge_to_batch (hash vs the batch GROUP BY twin,
+#     which IS the oracle SQL).
+_WINDOW_EXEMPT_R10 = [
+    "stream_sessions_gap_closed",
     "stream_hourly_counts",
     "stream_dedup_counts",
     "stream_enriched_counts",
     "stream_sliding_counts",
     "stream_click_purchase_join",
     "stream_session_window_native",
-    "stream_sessions_gap_closed",
-    "kv_stream_final_state",
-    "dedup_ngram_jaccard",
-    "csv_roundtrip",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    "schema_evolution_roundtrip",
-    "partitioned_prune_roundtrip",
+    "stream_user_totals_tws",
 ]
 
 

@@ -33,7 +33,7 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     drops the per-drain scratch dir entirely. ``input_bytes`` (gates the
     complete-mode sink) comes from the same FS API.
     """
-    from ..fsutil import du_bytes, is_dir
+    from ..fsutil import du_suffix_bytes, is_dir
     from ..streaming import stream_events
 
     src = os.path.join(sf_dir, "events.parquet")
@@ -41,7 +41,12 @@ def _events_stream(spark: SparkSession, sf_dir: str):
         stream = stream_events(spark, src)
     else:
         stream = stream_events(spark, sf_dir, glob="events.parquet")
-    return stream, du_bytes(spark, src)
+    # data-file bytes only (r9 ADVICE): ContentSummary also counts
+    # _SUCCESS and local-FS .crc siblings in a Spark-written dir, which
+    # drifted the complete-mode memory-vs-parquet gate ~1% vs the original
+    # per-*.parquet stat sum. du_suffix_bytes restores the original
+    # threshold semantics on every scheme.
+    return stream, du_suffix_bytes(spark, src, ".parquet")
 
 
 def _drain_staged(
@@ -80,7 +85,7 @@ def _drain_staged(
     import uuid
 
     from ..fsutil import delete as fs_delete
-    from ..fsutil import du_bytes, mkscratch
+    from ..fsutil import du_suffix_bytes, mkscratch
     from ..streaming import run_available_now, stream_events
 
     scratch = None
@@ -93,7 +98,10 @@ def _drain_staged(
             stage = scratch.rstrip("/") + "/stage"
             stage_df.coalesce(1).write.mode("overwrite").parquet(stage)
             stream = stream_events(spark, stage, glob="*.parquet")
-            input_bytes = du_bytes(spark, stage)
+            # data files only, not _SUCCESS/.crc siblings (r9 ADVICE —
+            # keeps the gate's threshold semantics equal to a plain-file
+            # source)
+            input_bytes = du_suffix_bytes(spark, stage, ".parquet")
         else:
             stream, input_bytes = _events_stream(spark, sf_dir)
         name = prefix + uuid.uuid4().hex[:8]

@@ -564,17 +564,28 @@ def run_foreachbatch_upsert(
     write and a resume with a different count (knob changed between runs)
     also fails loudly: rows bucketed under the previous pmod would be
     invisible to the touched-bucket read.
+
+    All sink-dir probes and the stamp go through fsutil (Hadoop FS API),
+    so ``out_dir`` may be any URI the deployment's Hadoop conf resolves
+    (r9 ADVICE: the prior driver-local ``os.path``/``open`` probes made
+    the layout guard silently no-op for URI sinks — the merge read was
+    skipped, so dynamic partition overwrite DROPPED prior rows in touched
+    buckets, then the stamp write failed late with an unrelated OSError).
     """
-    import os
+    from .. import fsutil
 
     spark = folded.sparkSession
     n_buckets = UPSERT_BUCKETS
-    stamp = os.path.join(out_dir, "_upsert_buckets")
+    stamp = out_dir.rstrip("/") + "/_upsert_buckets"
+
+    def _sink_entry_names() -> list[str]:
+        if not fsutil.exists(spark, out_dir):
+            return []
+        return [u.rstrip("/").rsplit("/", 1)[-1]
+                for u in fsutil.list_files(spark, out_dir)]
 
     def _check_layout_and_stamp():
-        if not os.path.isdir(out_dir):
-            return
-        entries = os.listdir(out_dir)
+        entries = _sink_entry_names()
         flat = [e for e in entries if e.endswith(".parquet")]
         if flat:
             raise ValueError(
@@ -585,13 +596,13 @@ def run_foreachbatch_upsert(
                 "into a fresh dir) or point the sink elsewhere."
             )
         if any(e.startswith("bucket=") for e in entries):
-            if not os.path.isfile(stamp):
+            if not fsutil.exists(spark, stamp):
                 raise ValueError(
                     f"upsert sink {out_dir!r} has a bucket= layout but no "
                     "_upsert_buckets stamp; cannot verify its bucket count "
                     "matches this run's."
                 )
-            prev = int(open(stamp).read().strip())
+            prev = int(fsutil.read_text(spark, stamp).strip())
             if prev != n_buckets:
                 raise ValueError(
                     f"upsert sink {out_dir!r} was written with "
@@ -610,9 +621,7 @@ def run_foreachbatch_upsert(
         if not touched:
             return
         _check_layout_and_stamp()
-        if os.path.isdir(out_dir) and any(
-            f.startswith("bucket=") for f in os.listdir(out_dir)
-        ):
+        if any(e.startswith("bucket=") for e in _sink_entry_names()):
             current = spark.read.parquet(out_dir).filter(
                 F.col("bucket").isin(touched)
             )
@@ -641,9 +650,8 @@ def run_foreachbatch_upsert(
             .partitionBy("bucket")
             .parquet(out_dir)
         )
-        if not os.path.isfile(stamp):
-            with open(stamp, "w") as f:
-                f.write(str(n_buckets))
+        if not fsutil.exists(spark, stamp):
+            fsutil.write_text(spark, stamp, str(n_buckets))
 
     q = (
         folded.writeStream.foreachBatch(upsert)

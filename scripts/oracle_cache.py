@@ -37,13 +37,20 @@ def cache_dir() -> str:
     )
 
 
-def fixture_digest(sf_dir: str, tables) -> str:
-    """Digest of every table file's identity under ``sf_dir``.
+_SAMPLE = 64 * 1024
 
-    (relative name, byte size, mtime_ns) per file — cheap (stat only) and
-    invalidates on any regeneration, even same-path same-size rewrites
-    (mtime_ns moves). Missing tables hash as absent rather than erroring:
-    an oracle that doesn't reference them is still cacheable.
+
+def fixture_digest(sf_dir: str, tables) -> str:
+    """Digest of every table file's identity + a content sample.
+
+    Per file: (relative name, byte size, mtime_ns) AND the first/last 64 KB
+    of bytes (r9 ADVICE: pure stat keying let an mtime-preserving restore —
+    ``cp -p`` / ``tar`` / ``rsync -a`` — of a different same-size fixture
+    serve a stale verdict; parquet packs the footer metadata in the tail
+    and dictionary/stat pages near the head, so the 128 KB sample moves on
+    any regeneration even when sizes collide). Missing tables hash as
+    absent rather than erroring: an oracle that doesn't reference them is
+    still cacheable.
     """
     h = hashlib.sha256()
     for t in sorted(tables):
@@ -60,6 +67,11 @@ def fixture_digest(sf_dir: str, tables) -> str:
             h.update(
                 f"{t}/{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode()
             )
+            with open(f, "rb") as fh:
+                h.update(fh.read(_SAMPLE))
+                if st.st_size > _SAMPLE:
+                    fh.seek(max(_SAMPLE, st.st_size - _SAMPLE))
+                    h.update(fh.read(_SAMPLE))
     return h.hexdigest()
 
 

@@ -99,7 +99,11 @@ def isolated_remeasure(name: str, passes: int) -> dict | None:
     import subprocess
     import tempfile
 
-    out = tempfile.mktemp(suffix=".json", prefix="revet_")
+    # mkstemp, not the race-prone deprecated mktemp (r9 ADVICE): the fd is
+    # closed immediately — only the unique pathname is needed; the
+    # subprocess overwrites the (empty) file via --out.
+    fd, out = tempfile.mkstemp(suffix=".json", prefix="revet_")
+    os.close(fd)
     r = subprocess.run(
         [
             sys.executable,
@@ -111,11 +115,14 @@ def isolated_remeasure(name: str, passes: int) -> dict | None:
             out,
             name,
         ],
+        # the parent already ran the idle guard, and its own (stopped but
+        # still-resident) gateway JVM would false-trip the child's check
+        env={**os.environ, "SPARK_GRAFT_SWEEP_REQUIRE_IDLE": "0"},
         capture_output=True,
         text=True,
         timeout=3600,
     )
-    if r.returncode != 0 or not os.path.isfile(out):
+    if r.returncode != 0 or not os.path.getsize(out):
         print(f"# revet {name}: subprocess failed\n{r.stderr[-500:]}", file=sys.stderr)
         return None
     try:
@@ -123,6 +130,31 @@ def isolated_remeasure(name: str, passes: int) -> dict | None:
             return json.load(f)["queries"][name]
     finally:
         os.unlink(out)
+
+
+def foreign_spark_jvms() -> list[int]:
+    """PIDs of Spark JVMs already running on this host (none of ours —
+    called before this process starts its own session).
+
+    The r9 sf10 sweep was silently contaminated by a verify bench
+    co-scheduled mid-sweep (r9 verdict); measuring while another Spark JVM
+    competes for the same 32 cores produces exactly the uniform inflation
+    the noise vetting exists to catch — better to detect it up front.
+    """
+    pids = []
+    for d in os.listdir("/proc"):
+        if not d.isdigit() or int(d) == os.getpid():
+            continue
+        try:
+            with open(f"/proc/{d}/cmdline", "rb") as f:
+                cmd = f.read().decode("utf-8", "replace")
+        except OSError:
+            continue
+        if "java" in cmd.split("\0", 1)[0] and (
+            "org.apache.spark" in cmd or "pyspark-shell" in cmd
+        ):
+            pids.append(int(d))
+    return pids
 
 
 def main() -> int:
@@ -143,6 +175,22 @@ def main() -> int:
         else:
             raise SystemExit(f"unknown flag {args[0]}")
     names = args or DEFAULT_QUERIES
+
+    # Co-scheduling guard (r9 lesson, memorialized as tooling): refuse —
+    # or at minimum stamp the artifact — when another Spark JVM is live.
+    coscheduled = foreign_spark_jvms()
+    if coscheduled:
+        msg = (
+            f"# WARNING: foreign Spark JVM(s) running: {coscheduled} — "
+            "sweep timings will be contaminated"
+        )
+        if os.environ.get("SPARK_GRAFT_SWEEP_REQUIRE_IDLE", "1") != "0":
+            raise SystemExit(
+                msg + "\n# refusing to sweep; finish/kill them or set "
+                "SPARK_GRAFT_SWEEP_REQUIRE_IDLE=0 to proceed (the artifact "
+                "will carry a coscheduled_at_start stamp)"
+            )
+        print(msg, file=sys.stderr, flush=True)
 
     from mapreduce_simple_go_spark.operators import all_queries
     from mapreduce_simple_go_spark.session import get_spark
@@ -177,17 +225,15 @@ def main() -> int:
     spark.stop()
 
     if revet:
-        for name, r in results.items():
-            if r["t_big"] / r["t_small"] <= FACTOR:
-                continue  # at-or-below linear: no flag, no re-measure
-            print(f"# revet {name}: above-linear in sweep, isolating...",
+        def _revet_one(name: str, r: dict, why: str) -> None:
+            print(f"# revet {name}: {why}, isolating...",
                   file=sys.stderr, flush=True)
             iso = isolated_remeasure(name, passes)
             if iso is None:
-                continue
+                return
             r["in_sweep"] = {"t_small": r["t_small"], "t_big": r["t_big"],
                              "exponent": r["exponent"]}
-            r["revetted"] = True
+            r["revetted"] = why
             # min per point: both runs are warm best-of-N, so the smaller
             # is the less-noise-contaminated estimate at each SF
             r["t_small"] = min(r["t_small"], iso["t_small"])
@@ -203,11 +249,31 @@ def main() -> int:
                 flush=True,
             )
 
+        flagged = {n for n, r in results.items()
+                   if r["t_big"] / r["t_small"] > FACTOR}
+        for name in sorted(flagged):
+            _revet_one(name, results[name], "above-linear")
+        # Two-sided (r9 ADVICE): re-vetting ONLY above-linear rows can only
+        # move flagged rows toward linear, leaving below-linear rows whose
+        # SMALL point was noise-inflated unexamined — a systematic downward
+        # bias in the published median exponent. Also re-vet the K
+        # most-below-linear unflagged rows (deterministic choice: lowest
+        # exponents); min-per-point on an inflated t_small RAISES their
+        # exponent, so this measures the bias instead of assuming it away.
+        below = sorted(
+            (n for n in results if n not in flagged),
+            key=lambda n: results[n]["exponent"],
+        )[: min(3, len(results) - len(flagged))]
+        for name in below:
+            _revet_one(name, results[name], "below-linear-sample")
+
     out = {
         "small": SMALL,
         "big": BIG,
         "factor": FACTOR,
         "passes": passes,
+        "coscheduled_at_start": coscheduled,
+        "coscheduled_at_end": foreign_spark_jvms(),
         "queries": results,
     }
     with open(out_path, "w") as f:

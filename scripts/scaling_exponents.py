@@ -64,7 +64,9 @@ def _vet_row(row: dict) -> None:
     import subprocess
     import tempfile
 
-    out = tempfile.mktemp(suffix=".json", prefix="vet_")
+    # mkstemp, not the race-prone deprecated mktemp (r9 ADVICE)
+    fd, out = tempfile.mkstemp(suffix=".json", prefix="vet_")
+    os.close(fd)
     env = dict(os.environ)
     env["SPARK_GRAFT_SWEEP_SMALL"] = os.path.join(REPO, ".localdata", "sf1")
     env["SPARK_GRAFT_SWEEP_BIG"] = os.path.join(REPO, ".localdata", "sf10")
@@ -73,6 +75,9 @@ def _vet_row(row: dict) -> None:
     # (toPandas/Arrow); a collect() re-measure pays py4j row transfer and
     # can't clear a flag on a big-output entry
     env["SPARK_GRAFT_SWEEP_METHOD"] = "topandas"
+    # the vetter coordinates its own children; don't let a lingering
+    # gateway JVM from an earlier child false-trip the idle guard
+    env["SPARK_GRAFT_SWEEP_REQUIRE_IDLE"] = "0"
     r = subprocess.run(
         [
             sys.executable,
@@ -89,7 +94,7 @@ def _vet_row(row: dict) -> None:
         text=True,
         timeout=7200,
     )
-    if r.returncode != 0 or not os.path.isfile(out):
+    if r.returncode != 0 or not os.path.getsize(out):
         print(f"# vet {row['query']}: subprocess failed: {r.stderr[-400:]}",
               file=sys.stderr)
         return

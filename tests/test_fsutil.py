@@ -60,6 +60,37 @@ def test_du_bytes_on_directory(spark, tmp_path):
     assert parts <= got <= parts + 4096
 
 
+def test_du_suffix_bytes_matches_stat_sum(spark, tmp_path):
+    """du_suffix_bytes == the original per-*.parquet os.stat sum, on a
+    plain fixture file AND a Spark-written dir (where ContentSummary-based
+    du_bytes also counts _SUCCESS/.crc — the r9 ADVICE gate drift). This
+    equality is the exemption evidence for the r10 events-probe change."""
+    p = os.path.join(SF_DIR, "documents.parquet")
+    want_file = os.stat(p).st_size
+    assert fsutil.du_suffix_bytes(spark, p, ".parquet") == want_file
+    assert fsutil.du_suffix_bytes(spark, "file:" + p, ".parquet") == want_file
+
+    d = tmp_path / "sink"
+    spark.range(1000).coalesce(2).write.parquet(str(d))
+    want_dir = sum(
+        os.stat(d / f).st_size for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    assert fsutil.du_suffix_bytes(spark, str(d), ".parquet") == want_dir
+    assert fsutil.du_suffix_bytes(spark, "file:" + str(d), ".parquet") == want_dir
+    # and the drift du_suffix_bytes exists to remove is real on local FS
+    assert fsutil.du_bytes(spark, str(d)) >= want_dir
+
+
+def test_read_write_text_roundtrip_uri(spark, tmp_path):
+    """Control-file helpers work through the FS API on a file: URI (the
+    upsert sink's stamp path)."""
+    uri = "file:" + str(tmp_path / "stamp")
+    fsutil.write_text(spark, uri, "16")
+    assert fsutil.read_text(spark, uri) == "16"
+    fsutil.write_text(spark, uri, "5\n")  # overwrite, not append
+    assert fsutil.read_text(spark, uri).strip() == "5"
+
+
 def test_is_dir_exists_list_files(spark):
     assert fsutil.is_dir(spark, SF_URI)
     assert not fsutil.is_dir(

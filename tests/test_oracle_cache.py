@@ -62,6 +62,33 @@ def test_fixture_regeneration_invalidates(tmp_path, monkeypatch):
     assert oc.fixture_digest(str(d), ["orders", "lineitem"]) != dig1
 
 
+def test_mtime_preserving_restore_invalidates(tmp_path):
+    """r9 ADVICE: a different fixture restored with identical size AND
+    mtime (cp -p / tar / rsync -a) must still miss — the digest now
+    samples file content (first/last 64 KB), not just stat metadata.
+    Also true when only MIDDLE-adjacent tail bytes differ on a file larger
+    than one sample window."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    p = d / "orders.parquet"
+    p.write_bytes(b"a" * 100)
+    os.utime(p, ns=(111, 222))
+    dig1 = oc.fixture_digest(str(d), ["orders"])
+    p.write_bytes(b"b" * 100)  # same size, different bytes
+    os.utime(p, ns=(111, 222))  # restore the exact mtime
+    assert oc.fixture_digest(str(d), ["orders"]) != dig1
+
+    # > one sample window: differing TAIL bytes (parquet footer territory)
+    big1 = b"h" * (3 * oc._SAMPLE)
+    big2 = big1[:-1] + b"X"
+    p.write_bytes(big1)
+    os.utime(p, ns=(111, 222))
+    dig_big1 = oc.fixture_digest(str(d), ["orders"])
+    p.write_bytes(big2)
+    os.utime(p, ns=(111, 222))
+    assert oc.fixture_digest(str(d), ["orders"]) != dig_big1
+
+
 def test_disable_env(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ORACLE_CACHE_DIR", str(tmp_path))
     monkeypatch.setenv("SPARK_GRAFT_ORACLE_CACHE", "0")

@@ -910,3 +910,38 @@ def test_foreachbatch_upsert_refuses_flat_parquet_layout(spark, tmp_path):
         _mini_upsert_drain(
             spark, tmp_path, [(2, "a", "append", "A2")], out, str(tmp_path / "ckpt")
         )
+
+
+def test_foreachbatch_upsert_uri_sink_merges_prior_rows(spark, tmp_path, monkeypatch):
+    """URI out_dir end-to-end (r9 ADVICE, medium): with the pre-r10
+    driver-local probes, a ``file:``-URI sink made _check_layout_and_stamp
+    silently no-op and skipped the existing-bucket read, so dynamic
+    partition overwrite DROPPED prior rows in touched buckets and the
+    stamp write died late on OSError. With UPSERT_BUCKETS=1 every key
+    shares bucket 0, so ANY prior-row loss in a touched bucket is visible:
+    two sequential drains (fresh checkpoints — a redeploy, not a resume)
+    must leave all three keys, and the stamp must live in the sink."""
+    from mapreduce_simple_go_spark import fsutil
+    from mapreduce_simple_go_spark import streaming as streaming_mod
+
+    monkeypatch.setattr(streaming_mod, "UPSERT_BUCKETS", 1)
+    out = "file:" + str(tmp_path / "out")
+    _mini_upsert_drain(
+        spark,
+        tmp_path,
+        [(1, "a", "put", "A1"), (2, "b", "put", "B1")],
+        out,
+        str(tmp_path / "ckpt1"),
+        tag="1",
+    )
+    _mini_upsert_drain(
+        spark,
+        tmp_path,
+        [(3, "c", "put", "C1")],
+        out,
+        str(tmp_path / "ckpt2"),
+        tag="2",
+    )
+    got = sorted_rows(spark.read.parquet(out).select("key", "state"))
+    assert got == [("a", "A1"), ("b", "B1"), ("c", "C1")]
+    assert fsutil.read_text(spark, out + "/_upsert_buckets").strip() == "1"
