@@ -86,11 +86,52 @@ def active_fallback_dir() -> str | None:
     return _active_dir
 
 
+# The gencode module whose imports define the protobuf surface pyspark
+# actually needs from the runtime. Probed at registration time when a
+# fallback bundle is active (see _verify_gencode_surface).
+_GENCODE_MODULE = "pyspark.sql.streaming.proto.StateMessage_pb2"
+
+
+def _verify_gencode_surface() -> None:
+    """Fail LOUDLY at registration time if pyspark's gencode needs a
+    protobuf module the active fallback bundle doesn't carry.
+
+    The vendored zip lacks the official wheel's well-known-type gencode
+    (timestamp_pb2, any_pb2, ... — see _vendor/README.md "Known
+    limitations"): pyspark 4.1.2's StateMessage_pb2 doesn't touch them,
+    but a FUTURE pyspark whose gencode does would otherwise die with an
+    opaque ImportError deep inside a streaming worker, mid-query. Importing
+    the gencode module HERE (driver, registration time) executes exactly
+    the import surface the workers will need — the strongest possible
+    probe, automatically tracking whatever future gencode imports.
+
+    Only runs when a fallback bundle is active: a real install is complete
+    by construction and stays on the documented never-raise path.
+    """
+    try:
+        importlib.import_module(_GENCODE_MODULE)
+    except ImportError as e:
+        raise RuntimeError(
+            f"the active google.protobuf fallback bundle ({_active_dir}) "
+            f"cannot satisfy {_GENCODE_MODULE}'s imports: {e}. The bundle "
+            "lacks the official wheel's well-known-type gencode modules "
+            "(timestamp_pb2, any_pb2, ... — see "
+            "mapreduce_simple_go_spark/_vendor/README.md 'Known "
+            "limitations'). Install the real protobuf runtime (pip install "
+            "protobuf) or rebuild the vendored zip from the official PyPI "
+            "wheel as the README describes."
+        ) from e
+
+
 def ensure_protobuf() -> bool:
     """Make ``import google.protobuf`` work in this process if possible.
 
     Returns True iff the import now succeeds (real install or discovered
-    bundle). Idempotent; never raises on a missing runtime.
+    bundle). Idempotent; never raises on a MISSING runtime — but DOES
+    raise (loudly, at registration time) if a fallback bundle activates
+    and then cannot satisfy pyspark's gencode import surface, because the
+    alternative is an opaque ImportError inside a streaming worker
+    mid-query (see :func:`_verify_gencode_surface`).
     """
     global _active_dir
     if _importable():
@@ -109,6 +150,7 @@ def ensure_protobuf() -> bool:
             os.environ["PYTHONPATH"] = d + os.pathsep + os.environ.get(
                 "PYTHONPATH", ""
             )
+            _verify_gencode_surface()
             return True
         sys.path.remove(d)
         importlib.invalidate_caches()

@@ -2,9 +2,12 @@
 
 Two paths, as a 100 TB pipeline needs both:
 
-- :func:`ann_cosine_topk` — brute-force exact top-k: broadcast the (small)
-  query set against the base table, one scan, per-query top-k via window.
-  The correctness baseline every approximate method is measured against.
+- :func:`ann_cosine_topk` — EXACT top-k, size-gated (r10): the join brute
+  below the measured crossover, the two-stage blocked scan (broadcast
+  query matrix -> per-block provably-sufficient candidates -> exact
+  re-rank) above it. Both bit-identical; the ungated brute
+  (:func:`ann_cosine_topk_brute`) stays as the independent baseline the
+  recall scripts measure against.
 - :func:`ann_ivf_topk` — IVF-style cell-probe search: a fixed-count
   (min(K_CENTROIDS, ceil(sqrt(n)))) deterministic centroid sample partitions
   the base table into cells; a query probes only its ``nprobe`` nearest
@@ -150,12 +153,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBED_DIM = 64  # fixture embedding dimensionality; asserted in tests
 
 
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector (brute force).
+def _rank_topk(scored: DataFrame) -> DataFrame:
+    """Final exact ranking shared by every exact top-k path: HALF_UP round
+    to 9 dp, then per-query (cosine DESC, vec_id ASC) row_number <= k."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
 
-    Query set is broadcast — the base table is scanned exactly once and never
-    shuffled; only (query, candidate, cosine) tuples reach the window top-k,
-    and AQE coalesces the tiny post-filter partitions.
+
+def ann_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors, JOIN-materialized brute force.
+
+    Query set is broadcast and every (query, candidate) pair becomes a ROW
+    (with both embedding arrays in flight) before scoring — simple and
+    exact, but the materialized pair stream is O(n * q) rows, which is
+    what made the registry entry the repo's one above-linear scaling row
+    (r9 vetted law: exp 1.36, 393 s at sf10). UNGATED library form, kept
+    as the independent implementation recall/crossover scripts measure
+    against (scripts/ann_recall.py, scripts/ann_crossover.py); the
+    registry entry :func:`ann_cosine_topk` delegates to the blocked-scan
+    form above the measured crossover instead.
     """
     base = _emb(spark, sf_dir)
     queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -165,12 +185,154 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _score_pairs_np(pairs, "q_emb", "embedding", ["query_id", "vec_id"]).select(
         "query_id", "vec_id", F.round(F.col("raw"), 9).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "cosine", "rank")
+    return _rank_topk(scored)
+
+
+# Tie margin for the blocked scan's per-block candidate cut. The global
+# ranking orders by the 9-dp ROUNDED cosine (vec_id ascending as
+# tie-break) while blocks select on RAW values; a raw-losing row can still
+# WIN the global order when rounding lands both on the same 1e-9 grid
+# point and its vec_id is lower. Keeping every row within 2e-9 of the
+# block's k-th best raw makes that impossible: a row cut by the margin
+# trails k rows by > 2e-9 raw, so after rounding (|round(v) - v| <=
+# 0.5e-9) each of those k rows still leads it by > 1e-9 — at least one
+# full grid step, never a tie. Hence the union of per-block keeps
+# provably contains every global top-k row (any global top-k row is
+# beaten by < k rows overall, so by < k rows within its own block).
+_BLOCK_TIE_MARGIN = 2e-9
+
+# Query-chunk width for the in-UDF scoring loop: bounds per-task transient
+# memory at arrow_batch_rows x _Q_CHUNK x 8 B (10k-row batches -> ~160 MB)
+# while the base table is still scanned exactly ONCE however many chunks
+# the query set needs.
+_Q_CHUNK = 2048
+
+
+def _ann_exact_blocked(spark: SparkSession, base: DataFrame, queries: DataFrame) -> DataFrame:
+    """Exact top-k via a two-stage blocked scan — the at-scale form.
+
+    Stage 1 (candidate generation): the query matrix is collected once,
+    broadcast, and each Arrow batch of the base table is scored against it
+    with the dimension-ordered float64 accumulation loop (identical IEEE
+    sequence to the brute/oracle per-pair fold — numpy vectorizes only
+    ACROSS pairs, see _score_pairs_np). Within each (block, query-chunk)
+    the batch keeps only rows within _BLOCK_TIE_MARGIN of its k-th best
+    raw cosine — a provably sufficient candidate set (margin note above).
+    No join, no shuffle of pairs: the O(n * q) work happens inside
+    vectorized numpy and only O(blocks * q * k) candidate rows leave the
+    scan (~10^5 rows where the brute form shipped 4*10^8 pair rows at the
+    100x fixture).
+
+    Stage 2 (exact re-rank): one tiny shuffle windows the candidates to
+    the true global top-k per query — bit-identical to brute force and to
+    the unchanged DuckDB oracle, because every raw cosine is produced by
+    the same IEEE operation sequence.
+
+    100 TB notes: per-task memory is bounded by the query-chunk loop
+    (arrow_rows x _Q_CHUNK floats); the broadcast holds the whole query
+    set (q x 64 float64 — ~0.5 GB at 1M queries). Beyond ~1M queries per
+    job, split the query set into broadcast-sized slices and union the
+    per-slice results (each slice is an independent one-pass scan), or
+    co-partition both sides on an IVF cell structure instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select("query_id", "q_emb").collect()
+    qrows.sort(key=lambda r: r.query_id)
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    QM = np.array([r.q_emb for r in qrows], dtype=np.float64)
+    qn = np.zeros(len(qids))
+    for i in range(QM.shape[1]):
+        qn += QM[:, i] * QM[:, i]
+    qn = np.sqrt(qn)
+    bc = spark.sparkContext.broadcast((qids, QM, qn))
+    k = TOP_K
+
+    def go(it):
+        b_qids, b_QM, b_qn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            na = np.zeros(len(A))
+            for i in range(A.shape[1]):
+                na += A[:, i] * A[:, i]
+            rna = np.sqrt(na)
+            out_q, out_v, out_raw = [], [], []
+            for s in range(0, len(b_qids), _Q_CHUNK):
+                Qc = b_QM[s : s + _Q_CHUNK]
+                acc = np.zeros((len(A), len(Qc)))
+                for i in range(A.shape[1]):
+                    acc += A[:, i : i + 1] * Qc[:, i][None, :]
+                cos = acc / (rna[:, None] * b_qn[s : s + _Q_CHUNK][None, :])
+                # self-pairs never compete nor emit (brute joins on
+                # vec_id != query_id)
+                self_mask = vids[:, None] == b_qids[s : s + _Q_CHUNK][None, :]
+                cos[self_mask] = -np.inf
+                if len(A) > k:
+                    kth = np.partition(cos, len(A) - k, axis=0)[len(A) - k, :]
+                    keep = cos >= (kth - _BLOCK_TIE_MARGIN)[None, :]
+                else:
+                    keep = ~self_mask
+                keep &= ~self_mask
+                rows_i, cols_j = np.nonzero(keep)
+                out_q.append(b_qids[s + cols_j])
+                out_v.append(vids[rows_i])
+                out_raw.append(cos[rows_i, cols_j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "raw": np.concatenate(out_raw),
+                    }
+                )
+
+    cand = base.select("vec_id", "embedding").mapInPandas(
+        go, schema="query_id long, vec_id long, raw double"
     )
+    scored = cand.select(
+        "query_id", "vec_id", F.round(F.col("raw"), 9).alias("cosine")
+    )
+    return _rank_topk(scored)
+
+
+# Brute/blocked gate for the REGISTRY entry (r9 verdict #3). MEASURED
+# (scripts/ann_crossover.py --topk, local[32], best-of-2, noop sink):
+#   n=500: brute 0.47 s vs blocked 0.32 s; n=2k: 0.72 vs 0.25;
+#   n=20k: 3.29 vs 0.39; n=200k: brute fit ~260 s (r9 driver sweep
+#   measured 393 s) vs blocked 22.7 s.
+# The blocked scan wins at EVERY measured size — the crossover sits below
+# the smallest fixture — so the default gate is 0 (always blocked). The
+# knob remains for diagnostics/regression work; the brute stays the
+# independent implementation the equivalence tests and recall scripts
+# compare against.
+MAX_BRUTE_TOPK_ROWS = int(os.environ.get("SPARK_GRAFT_MAX_BRUTE_TOPK_ROWS", "0"))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: EXACT top-k cosine neighbors per query vector.
+
+    Two-stage blocked-scan form (r10): stage 1 generates a provably
+    sufficient candidate set in one shuffle-free vectorized pass, stage 2
+    re-ranks it exactly (:func:`_ann_exact_blocked`). Bit-identical to
+    the JOIN brute (same IEEE scoring sequence, same rounding, same
+    tie-break) — the DuckDB oracle is unchanged and the
+    MAX_BRUTE_TOPK_ROWS gate (measured always-0, see above) never changes
+    results, only the plan. Replaces the repo's one above-linear scaling
+    row: sf0.1->sf10 exponent 1.36 -> 0.98, sf10 time 393 s -> 22.7 s.
+    The residual n*q work is the entry's own definition (q = n/100);
+    at a fixed production query budget the scan is linear in n.
+    """
+    base = _emb(spark, sf_dir)
+    if MAX_BRUTE_TOPK_ROWS > 0 and base.count() <= MAX_BRUTE_TOPK_ROWS:
+        return ann_cosine_topk_brute(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return _ann_exact_blocked(spark, base, queries)
 
 
 ANN_TOPK_SQL = f"""

@@ -44,6 +44,81 @@ def time_df(df) -> float:
     return time.monotonic() - t0
 
 
+def main_topk() -> None:
+    """`--topk`: brute vs blocked-scan crossover for the EXACT top-k entry
+    (r10, r9 verdict #3). Times ann_cosine_topk_brute against the forced
+    _ann_exact_blocked path per fixture; both are exact, so this is purely
+    a plan-cost measurement. Sets MAX_BRUTE_TOPK_ROWS."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.operators.similarity import (
+        QUERY_MOD,
+        _ann_exact_blocked,
+        ann_cosine_topk_brute,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dirs = sys.argv[2:] or [
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        os.path.join(repo, ".localdata", "sf1"),
+        os.path.join(repo, ".localdata", "sf10"),
+    ]
+    spark = get_spark(shuffle_partitions=32)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(32).mapInPandas(lambda it: it, schema="id long").collect()
+    print("| fixture | n_emb | brute best (s) | blocked best (s) | ratio |")
+    print("|---|---|---|---|---|")
+    rows = []
+    for d in dirs:
+        if not os.path.isdir(d):
+            print(f"(skip {d}: missing)")
+            continue
+        n = _emb(spark, d).count()
+        if n <= BRUTE_MEASURE_CAP:
+            brute = min(
+                time_df(ann_cosine_topk_brute(spark, d)) for _ in range(PASSES)
+            )
+        else:
+            brute = None
+
+        def blocked_df():
+            base = _emb(spark, d)
+            queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+            )
+            return _ann_exact_blocked(spark, base, queries)
+
+        blocked = min(time_df(blocked_df()) for _ in range(PASSES))
+        rows.append((n, brute, blocked))
+        bs = f"{brute:.2f}" if brute is not None else "(skipped)"
+        rs = f"{brute / blocked:.2f}" if brute is not None else "-"
+        print(
+            f"| {os.path.basename(d.rstrip('/'))} | {n} | {bs} "
+            f"| {blocked:.2f} | {rs} |"
+        )
+    measured = [(n, b, k) for n, b, k in rows if b is not None]
+    if len(measured) >= 2:
+        (n1, b1, _), (n2, b2, _) = measured[-2], measured[-1]
+        a = (b2 - b1) / (n2**2 - n1**2)
+        b0 = b2 - a * n2**2
+        k_n0, _, k_v0 = rows[0]
+        k_n1, _, k_v1 = rows[-1]
+        slope = (k_v1 - k_v0) / max(k_n1 - k_n0, 1)
+        lo, hi = 1, 100 * rows[-1][0]
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if b0 + a * mid * mid < k_v0 + slope * (mid - k_n0):
+                lo = mid + 1
+            else:
+                hi = mid
+        print(f"\nfitted brute {b0:.2f}+{a:.3e}*n^2; "
+              f"blocked {k_v0:.2f}+{slope:.3e}*(n-{k_n0})")
+        print(f"estimated crossover: n ~= {lo}")
+    spark.stop()
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dirs = sys.argv[1:] or [
@@ -112,4 +187,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--topk":
+        main_topk()
+    else:
+        main()

@@ -397,3 +397,63 @@ def test_srp_recall_mid_cosine_tiers(spark, tmp_path):
         planted = srp_tune.make_planted_fixture(spark, fix, cos_t)
         rec = srp_tune.planted_recall(spark, ann_srp_topk, fix, planted)
         assert rec >= floor, f"SRP recall {rec:.3f} below {floor} at cos {cos_t}"
+
+
+def test_exact_blocked_topk_bit_identical_to_brute(spark):
+    """r10 (r9 verdict #3): the blocked-scan exact top-k must be
+    BIT-identical to the join brute — same IEEE scoring sequence, same
+    9-dp rounding, same (cosine DESC, vec_id ASC) tie-break — because the
+    registry entry's size gate must never change results, only the plan."""
+    from mapreduce_simple_go_spark.operators.similarity import (
+        QUERY_MOD,
+        _ann_exact_blocked,
+        _emb,
+        ann_cosine_topk_brute,
+    )
+    from pyspark.sql import functions as F
+
+    base = _emb(spark, SF_DIR)
+    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    blocked = sorted(map(tuple, _ann_exact_blocked(spark, base, queries).collect()))
+    brute = sorted(map(tuple, ann_cosine_topk_brute(spark, SF_DIR).collect()))
+    assert blocked == brute and len(blocked) > 0
+
+
+def test_exact_blocked_topk_tie_margin_survives_tiny_blocks(spark):
+    """Repartitioning the base into many tiny blocks (every block smaller
+    than k, plus uneven ones) exercises both emit branches of the blocked
+    scan and the per-block sufficiency argument: the union of per-block
+    keeps must still contain every global top-k row."""
+    from mapreduce_simple_go_spark.operators.similarity import (
+        QUERY_MOD,
+        _ann_exact_blocked,
+        _emb,
+        ann_cosine_topk_brute,
+    )
+    from pyspark.sql import functions as F
+
+    base = _emb(spark, SF_DIR).repartition(64)
+    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    blocked = sorted(map(tuple, _ann_exact_blocked(spark, base, queries).collect()))
+    brute = sorted(map(tuple, ann_cosine_topk_brute(spark, SF_DIR).collect()))
+    assert blocked == brute
+
+
+def test_ann_topk_gate_boundary(spark, monkeypatch):
+    """The registry entry's gate flips exactly AT MAX_BRUTE_TOPK_ROWS and
+    both sides return identical rows (the gate is a plan choice, not a
+    semantics choice)."""
+    import mapreduce_simple_go_spark.operators.similarity as S
+
+    n = S._emb(spark, SF_DIR).count()
+    monkeypatch.setattr(S, "MAX_BRUTE_TOPK_ROWS", n)
+    at_boundary = sorted(map(tuple, S.ann_cosine_topk(spark, SF_DIR).collect()))
+    monkeypatch.setattr(S, "MAX_BRUTE_TOPK_ROWS", n - 1)
+    above = sorted(map(tuple, S.ann_cosine_topk(spark, SF_DIR).collect()))
+    brute = sorted(map(tuple, S.ann_cosine_topk_brute(spark, SF_DIR).collect()))
+    assert at_boundary == brute
+    assert above == brute
