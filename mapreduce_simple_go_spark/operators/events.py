@@ -904,13 +904,20 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry running transformWithStateInPandas (Spark 4's
     StatefulProcessor) across a REAL multi-micro-batch drain.
 
-    The event log is staged as three files drained one per trigger
+    The event log is staged as _TWS_DROPS files drained one per trigger
     (maxFilesPerTrigger=1), so the ValueState provably accumulates across
     batches; each key's final row is its max-version emission (versions
     count the batches that touched the key — the kv.py versioned-fold
     discipline). All-integer totals make the fold exact, so the oracle is
     the plain batch GROUP BY; version itself is NOT emitted downstream
-    because the file split (3) is a staging choice, not a semantic one.
+    because the file split is a staging choice, not a semantic one —
+    r10 trimmed it 3 -> 2 (r9 verdict #5: each TWS micro-batch costs
+    ~2.5 s flat in store opens + state-server handshakes at driver SF,
+    so the third batch bought nothing the second doesn't already prove)
+    and sized the stateful shuffle to 8 partitions like the other
+    streaming entries (32 partitions x RocksDB column families priced
+    ~1.5 s/batch in store management alone; hash-identical output,
+    pinned by test_tws_totals_converge_to_batch).
     First operator on the post-applyInPandasWithState API; gated on the
     google.protobuf dependency its driver worker imports (see note at the
     bottom of this file).
@@ -941,19 +948,21 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         prev_provider = None
     spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     ev = load_events(spark, sf_dir).select("ts", "user_id", "event_id")
     # Staging through fsutil (r9): scratch may be a shared URI
     # (SPARK_GRAFT_SCRATCH_DIR) and the per-file copy is an FS-to-FS
-    # Hadoop FileUtil copy, so the 3-drop multi-batch layout works off the
+    # Hadoop FileUtil copy, so the multi-drop layout works off the
     # driver's local disk too. Copy order stamps ascending mtimes — the
     # file source's micro-batch order.
     root = fsutil.mkscratch(spark, "ev_tws_q_")
     try:
         src = root.rstrip("/") + "/src"
         fsutil.mkdirs(spark, src)
-        for i in range(3):
+        for i in range(_TWS_DROPS):
             stage = root.rstrip("/") + f"/stage{i}"
-            part = ev.filter(F.col("event_id") % 3 == i)
+            part = ev.filter(F.col("event_id") % _TWS_DROPS == i)
             part.coalesce(1).write.mode("overwrite").parquet(stage)
             pfile = fsutil.list_files(spark, stage, suffix=".parquet")[0]
             fsutil.copy(spark, pfile, src + f"/drop{i}.parquet")
@@ -981,7 +990,15 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(_PROVIDER_KEY)
         else:
             spark.conf.set(_PROVIDER_KEY, prev_provider)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         fsutil.delete(spark, root)
+
+
+# Micro-batch count for the tws drain: 2 proves cross-batch ValueState
+# accumulation (the operator's point) at the minimum per-batch flat cost;
+# the final totals are split-invariant (all-integer fold), so the value is
+# a pure staging/perf knob — see the r10 note in the docstring above.
+_TWS_DROPS = 2
 
 
 STREAM_TWS_SQL = """

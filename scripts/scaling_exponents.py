@@ -16,6 +16,13 @@ a real plan break). The last-decade ratio t(sf10)/t(sf1) is printed too
 decade means the break is recent).
 
 Usage: python scripts/scaling_exponents.py [--json] [--vet] [top_n]
+       python scripts/scaling_exponents.py --gate [PRIOR] [CURRENT]
+
+--gate (r10, per r9 verdict #7): compare the current vetted law against
+the previous one (--vet rotates it to scaling_law_prev.json) and exit 1
+if any entry's fitted exponent worsened by more than GATE_WORSEN (0.15) —
+the round checklist runs this after the sweeps so a cost-law break fails
+loudly instead of waiting for a human to read the table.
 
 --vet (r9, per r8 verdict #2): the in-sweep spark_s numbers are cache-ORDER
 sensitive — r8's window rotation reordered the sf10 sweep and four entries
@@ -120,9 +127,58 @@ def _vet_row(row: dict) -> None:
     )
 
 
+GATE_WORSEN = 0.15  # exponent regression that fails the gate (r9 verdict #7)
+
+
+def gate(prior_path: str, current_path: str) -> int:
+    """`--gate`: fail loudly when any entry's fitted exponent WORSENED by
+    more than GATE_WORSEN vs the previous vetted law (r9 verdict #7 — the
+    vetted law is now trustworthy enough to be a regression gate, not just
+    a report). Both inputs are scaling_law_vetted.json-shaped; entries
+    missing from either side are reported but don't fail (new operators /
+    renames). Exit 1 on regression."""
+    with open(prior_path) as f:
+        prior = {r["query"]: r for r in json.load(f)["rows"]}
+    with open(current_path) as f:
+        cur_art = json.load(f)
+    current = {r["query"]: r for r in cur_art["rows"]}
+    bad, new_names, gone = [], [], []
+    for name, row in sorted(current.items()):
+        if name not in prior:
+            new_names.append(name)
+            continue
+        delta = row["exponent"] - prior[name]["exponent"]
+        if delta > GATE_WORSEN:
+            bad.append((name, prior[name]["exponent"], row["exponent"], delta))
+    gone = sorted(set(prior) - set(current))
+    if new_names:
+        print(f"# {len(new_names)} entries new vs prior law: {new_names[:8]}...")
+    if gone:
+        print(f"# {len(gone)} entries gone vs prior law: {gone[:8]}...")
+    print(
+        f"# gate: {len(current)} entries, median "
+        f"{cur_art.get('median_exponent'):.3f}, threshold +{GATE_WORSEN}"
+    )
+    if bad:
+        print("SCALING LAW REGRESSION:")
+        for name, pe, ce, d in sorted(bad, key=lambda b: -b[3]):
+            print(f"  {name}: exponent {pe} -> {ce} (+{d:.3f})")
+        return 1
+    print("# gate: no entry worsened by more than the threshold")
+    return 0
+
+
 def main() -> int:
     as_json = "--json" in sys.argv
     vet = "--vet" in sys.argv
+    if "--gate" in sys.argv:
+        i = sys.argv.index("--gate")
+        rest = sys.argv[i + 1 :]
+        prior = rest[0] if rest else os.path.join(REPO, "scaling_law_prev.json")
+        cur = rest[1] if len(rest) > 1 else os.path.join(
+            REPO, "scaling_law_vetted.json"
+        )
+        return gate(prior, cur)
     args = [a for a in sys.argv[1:] if a not in ("--json", "--vet")]
     top_n = int(args[0]) if args else 15
 
@@ -155,6 +211,10 @@ def main() -> int:
     med = statistics.median(r["exponent"] for r in rows)
     sub = sum(1 for r in rows if r["last_decade"] <= 10)
     if vet:
+        # rotate the previous vetted law aside so --gate has a comparator
+        vp = os.path.join(REPO, "scaling_law_vetted.json")
+        if os.path.isfile(vp):
+            os.replace(vp, os.path.join(REPO, "scaling_law_prev.json"))
         with open(os.path.join(REPO, "scaling_law_vetted.json"), "w") as f:
             json.dump(
                 {"median_exponent": med, "n": len(rows),

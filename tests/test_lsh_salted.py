@@ -196,3 +196,45 @@ def test_salted_ten_thousand_dupe_bucket_linear_pairs(spark):
     for r in distinct.collect():
         parent[find(r.x)] = find(r.y)
     assert len({find(d) for d in range(k)}) == 1
+
+
+def test_planted_jaccard_recall_floors(spark):
+    """r10 (r9 verdict #6): measured recall floors for the SHIPPED band
+    layout (16 perms, 4 bands x 4 rows) on planted exact-Jaccard pairs —
+    the number a near-dedup user needs, now pinned instead of assumed.
+    Analytic collision expectation 1-(1-J^4)^4: 0.99 @ J=0.9,
+    0.88 @ 0.8, 0.67 @ 0.7; scripts/lsh_tune.py measured 1.0 / 0.92 /
+    0.63 at 100 pairs/tier (table in SCALE.md). Floors sit ~2 sigma under
+    the analytic values for this test's 50 pairs/tier. The salted form
+    must agree EXACTLY here: every planted bucket holds just the pair
+    (unique words elsewhere), so cap=2 keeps it in one chunk — any
+    divergence means chunking split a within-cap bucket."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "lsh_tune",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "lsh_tune.py",
+        ),
+    )
+    lt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lt)
+
+    rows, planted = lt.planted_jaccard_docs(n_sea=800, pairs_per_tier=50)
+    res = lt.measure(spark, rows, planted)
+
+    floors = {"0.9": 0.90, "0.8": 0.70, "0.7": 0.40}
+    for tier, floor in floors.items():
+        r = res[tier]
+        assert r["unsalted_recall"] >= floor, (tier, r)
+        assert r["salted_recall"] == r["unsalted_recall"], (tier, r)
+        assert r["salted_collision"] == r["unsalted_collision"], (tier, r)
+    # the frontier must be monotone in true Jaccard
+    assert (
+        res["0.9"]["unsalted_recall"]
+        >= res["0.8"]["unsalted_recall"]
+        >= res["0.7"]["unsalted_recall"]
+    )

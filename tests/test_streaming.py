@@ -546,8 +546,9 @@ def _has_tws_deps() -> bool:
 )
 def test_tws_totals_converge_to_batch(spark):
     """Spark 4 StatefulProcessor (transformWithStateInPandas): the
-    versioned per-user fold across a 3-file drain must equal the batch
-    GROUP BY exactly (all-integer state)."""
+    versioned per-user fold across a multi-file drain (_TWS_DROPS
+    micro-batches — 2 since the r10 shave) must equal the batch GROUP BY
+    exactly (all-integer state)."""
     from mapreduce_simple_go_spark.operators.events import stream_user_totals_tws
     from mapreduce_simple_go_spark.sources import load_events
 
