@@ -960,15 +960,29 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = root.rstrip("/") + "/src"
         fsutil.mkdirs(spark, src)
+        # ONE staging job (r10): write all drops in a single
+        # partitionBy(drop) pass — repartition(_TWS_DROPS, drop) puts each
+        # drop's rows in exactly one task, so every drop= dir holds exactly
+        # one data file (vs _TWS_DROPS separate filter+coalesce(1) jobs,
+        # each a full events scan). The sequential copies below stamp the
+        # ascending mtimes that order the micro-batches.
+        stage = root.rstrip("/") + "/stage"
+        (
+            ev.withColumn(
+                "drop", (F.col("event_id") % _TWS_DROPS).cast("int")
+            )
+            .repartition(_TWS_DROPS, "drop")
+            .write.mode("overwrite")
+            .partitionBy("drop")
+            .parquet(stage)
+        )
         for i in range(_TWS_DROPS):
-            stage = root.rstrip("/") + f"/stage{i}"
-            part = ev.filter(F.col("event_id") % _TWS_DROPS == i)
-            part.coalesce(1).write.mode("overwrite").parquet(stage)
-            pfile = fsutil.list_files(spark, stage, suffix=".parquet")[0]
+            pfile = fsutil.list_files(
+                spark, stage + f"/drop={i}", suffix=".parquet"
+            )[0]
             fsutil.copy(spark, pfile, src + f"/drop{i}.parquet")
-        schema = spark.read.parquet(src).schema
         stream = (
-            spark.readStream.schema(schema)
+            spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
