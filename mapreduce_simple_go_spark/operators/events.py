@@ -948,8 +948,17 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         prev_provider = None
     spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+    # Stateful-shuffle sizing, size-gated (r10): at driver SF the flat
+    # per-partition cost dominates (32 RocksDB column-family stores per
+    # batch priced ~1.5 s/batch -> 8 partitions), but at 10x+ the fold is
+    # compute-bound and WANTS the parallelism (8 partitions measured 14.4 s
+    # vs 32's 12.3 s at sf1) — so only shrink below _TWS_SMALL_INPUT_BYTES
+    # and leave the session default above it. Same probe family as the
+    # complete-mode sink gate (fsutil, data files only).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev_src = os.path.join(sf_dir, "events.parquet")
+    if fsutil.du_suffix_bytes(spark, ev_src, ".parquet") < _TWS_SMALL_INPUT_BYTES:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     ev = load_events(spark, sf_dir).select("ts", "user_id", "event_id")
     # Staging through fsutil (r9): scratch may be a shared URI
     # (SPARK_GRAFT_SCRATCH_DIR) and the per-file copy is an FS-to-FS
@@ -1013,6 +1022,14 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the final totals are split-invariant (all-integer fold), so the value is
 # a pure staging/perf knob — see the r10 note in the docstring above.
 _TWS_DROPS = 2
+
+# Below this events-table size the stateful shuffle shrinks to 8
+# partitions (store-open flat cost dominates); above it the session
+# default stands (the fold is compute-bound — measured at sf1, see the
+# docstring). sf0.1's events sit ~2 MB, sf1's ~18 MB.
+_TWS_SMALL_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_TWS_SMALL_INPUT_BYTES", str(8 * 1024 * 1024))
+)
 
 
 STREAM_TWS_SQL = """
