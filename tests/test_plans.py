@@ -565,3 +565,21 @@ def test_session_window_native_one_shuffle_partial_merge(spark):
     assert has_partial_aggregation(df)
     schemas = scan_read_schemas(df)
     assert schemas and "event_type" not in schemas[0] and "props" not in schemas[0]
+
+
+def test_ann_blocked_topk_plan_shape(spark):
+    """The r10 blocked-scan exact top-k must keep its scale shape: ONE
+    MapInPandas pass over the base (candidate generation against the
+    broadcast query matrix — no join, no pair materialization) and ONE
+    Exchange (the per-query window re-rank over the tiny candidate set).
+    A join or second Exchange appearing here means the pair stream came
+    back."""
+    from mapreduce_simple_go_spark.operators.similarity import ann_cosine_topk
+
+    df = ann_cosine_topk(spark, SF_DIR)
+    assert count_operator(df, "MapInPandas") == 1
+    assert count_operator(df, "Exchange") == 1
+    assert count_operator(df, "BroadcastHashJoin") == 0
+    assert count_operator(df, "SortMergeJoin") == 0
+    assert count_operator(df, "CartesianProduct") == 0
+    assert count_operator(df, "BroadcastNestedLoopJoin") == 0
