@@ -457,3 +457,61 @@ def test_ann_topk_gate_boundary(spark, monkeypatch):
     brute = sorted(map(tuple, S.ann_cosine_topk_brute(spark, SF_DIR).collect()))
     assert at_boundary == brute
     assert above == brute
+
+
+def test_exact_blocked_topk_cross_block_exact_ties(spark):
+    """Adversarial tie case for the blocked scan: many IDENTICAL vectors
+    (cosine vs the query exactly equal, bit-for-bit) scattered across 64
+    tiny blocks. The global tie-break is vec_id ASC, so the true top-k is
+    the k LOWEST vec_ids among the tied copies — which forces every block
+    to surface its tied rows (the margin keeps raw-equal rows) and the
+    re-rank to order them purely by vec_id across blocks."""
+    import numpy as np
+
+    from mapreduce_simple_go_spark.operators.similarity import (
+        TOP_K,
+        _ann_exact_blocked,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    q = rng.rand(64).astype("float32")
+    x = rng.rand(64).astype("float32")  # the tied candidate, 50 copies
+    rows = [(0, [float(v) for v in q])]
+    tied_ids = [3, 7, 11, 19, 23, 31, 41, 53, 67, 71][:10] + list(
+        range(101, 141)
+    )
+    for vid in tied_ids:
+        rows.append((vid, [float(v) for v in x]))
+    # noise sea, far from both q and x in expectation
+    for vid in range(500, 600):
+        rows.append((vid, [float(v) for v in rng.rand(64)]))
+    base = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(64)
+    queries = base.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = (
+        _ann_exact_blocked(spark, base, queries)
+        .orderBy("rank")
+        .select("vec_id", "rank")
+        .collect()
+    )
+    # identical vectors share one cosine; whether it beats the noise sea is
+    # data-dependent, but sorted tied ids must head the ranking if their
+    # cosine is the max — verify against a numpy oracle instead of assuming
+    M = {vid: np.array(emb, dtype=np.float64) for vid, emb in rows}
+    qv = M.pop(0)
+
+    def cos(a, b):
+        acc = na = nb = 0.0
+        for i in range(64):
+            acc += a[i] * b[i]
+            na += a[i] * a[i]
+            nb += b[i] * b[i]
+        return round(acc / (np.sqrt(na) * np.sqrt(nb)), 9)
+
+    want = sorted(((-cos(qv, v), vid) for vid, v in M.items()))[:TOP_K]
+    assert [r.vec_id for r in got] == [vid for _, vid in want]
+    assert [r.rank for r in got] == list(range(1, TOP_K + 1))
