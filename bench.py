@@ -102,14 +102,19 @@ def _prior_numbers(sf: float) -> dict[str, float]:
     import re
 
     override = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
-    paths = (
-        [override]
-        if override
-        else sorted(
-            glob.glob(os.path.join(REPO, "BENCH*_r*.json")),
-            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
-        )
-    )
+    if override:
+        paths = [override]
+    else:
+        # Only names with a parseable round suffix participate (r10
+        # ADVICE): a stray BENCH_report.json matching the glob but not
+        # the _r<digits> pattern must be skipped, not crash the whole
+        # bench run before the artifact is written.
+        matched = [
+            (int(m.group(1)), p)
+            for p in glob.glob(os.path.join(REPO, "BENCH*_r*.json"))
+            if (m := re.search(r"_r(\d+)\.json$", p))
+        ]
+        paths = [p for _, p in sorted(matched)]
     prior: dict[str, float] = {}
     used = 0
     for p in reversed(paths):

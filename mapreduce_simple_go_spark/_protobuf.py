@@ -136,6 +136,7 @@ def ensure_protobuf() -> bool:
     global _active_dir
     if _importable():
         return True
+    verify_errors: list[RuntimeError] = []
     for d in _FALLBACK_DIRS:
         if not _entry_usable(d):
             continue
@@ -147,13 +148,38 @@ def ensure_protobuf() -> bool:
             # runtime; protobuf's own escape hatch accepts the skew. Set
             # before any gencode module (StateMessage_pb2) is imported.
             os.environ.setdefault(_VERSION_FLAG, "true")
-            os.environ["PYTHONPATH"] = d + os.pathsep + os.environ.get(
-                "PYTHONPATH", ""
-            )
-            _verify_gencode_surface()
+            prev_pythonpath = os.environ.get("PYTHONPATH")
+            os.environ["PYTHONPATH"] = d + os.pathsep + (prev_pythonpath or "")
+            try:
+                _verify_gencode_surface()
+            except RuntimeError as e:
+                # Incomplete bundle (r10 ADVICE): unwind it COMPLETELY —
+                # sys.path, PYTHONPATH, _active_dir, and the partially
+                # imported google.* modules — then keep probing, so a later
+                # complete bundle (e.g. the host cloud-sdk runtime when the
+                # vendored zip goes stale against a future pyspark) still
+                # gets its chance. Raise only after every activating
+                # candidate failed.
+                verify_errors.append(e)
+                _active_dir = None
+                if prev_pythonpath is None:
+                    os.environ.pop("PYTHONPATH", None)
+                else:
+                    os.environ["PYTHONPATH"] = prev_pythonpath
+                sys.path.remove(d)
+                for mod in [
+                    m
+                    for m in sys.modules
+                    if m == "google" or m.startswith("google.")
+                ]:
+                    del sys.modules[mod]
+                importlib.invalidate_caches()
+                continue
             return True
         sys.path.remove(d)
         importlib.invalidate_caches()
+    if verify_errors:
+        raise verify_errors[-1]
     return False
 
 

@@ -141,13 +141,13 @@ def read_text(spark: SparkSession, uri: str) -> str:
     fs, p = _fs_path(spark, uri)
     stream = fs.open(p)
     try:
-        out = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            out.append(b)
-        return out.decode("utf-8")
+        # One JVM-side drain + one py4j byte-array transfer (r10 ADVICE:
+        # the old stream.read() loop was one py4j round trip PER BYTE —
+        # fine for a 2-byte stamp, a trap for anything bigger).
+        jvm = spark._jvm
+        sink = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 65536, False)
+        return bytes(sink.toByteArray()).decode("utf-8")
     finally:
         stream.close()
 

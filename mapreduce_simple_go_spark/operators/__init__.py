@@ -50,101 +50,92 @@ def _modules():
 # take a slot. Overflow from the staleness rotation goes to
 # _WINDOW_OVERFLOW (positions 51+, the head of the NEXT round's window).
 _WINDOW_PRIORITY = [
-    # --- round 10 window (r9 verdict #1): the two r6-overflow names first
-    # (designated heads of this window since r9), then the full 47-entry
-    # r7-stale block (computed by union over CORRECTNESS_r01..r09: after
-    # this round no entry's last driver verdict predates r8), then the one
-    # entry whose CODE changes this round. Exactly 50.
-    "order_price_histogram",
-    "supplier_balance_dist",
-    # --- last driver-checked in round 7 (streaming-adjacent batch twins,
-    # format roundtrips, curation, textstats, multimodal, the q-suite tail)
-    "ann_srp_topk",
-    "bm25_scores",
-    "chunk_dedup",
-    "curation_pipeline",
-    "decontaminate_overlap",
-    "dedup_incremental",
-    "dedup_minhash_incremental",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "doc_split_assign",
-    "embedding_quantize_error",
-    "fuzzy_name_matches",
-    "inverted_index_positional",
-    "jsonl_roundtrip",
-    "kmeans_clusters",
-    "label_centroids",
-    "lang_id",
-    "length_bucket_batches",
-    "multimodal_dedup",
-    "multimodal_features",
-    "multimodal_frame_features",
-    "multimodal_resize",
-    "ngram_counts",
-    "orc_roundtrip",
-    "pack_sequences",
-    "pii_scrub",
-    "q11_important_stock",
-    "q12_ship_delay_priority",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "quality_filter",
-    "quality_model_score",
-    "range_join_brackets",
-    "repetition_filter",
-    "sample_per_stratum",
-    "stratified_sample",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_stats",
-    "word_cooccurrence_pmi",
-    "word_pagerank",
-    # --- code changed this round (r10): the registry entry now runs the
-    # size-gated exact two-stage form above the brute-force crossover
-    # (r9 verdict #3); exact semantics, so the oracle is unchanged, but a
-    # changed plan needs a fresh driver verdict per the window policy.
-    "ann_cosine_topk",
+    # --- round 11 window (r10 verdict #2): the full 49-entry r8-stale block
+    # (computed by union over CORRECTNESS_r01..r10: staleness after r10 is
+    # {r10: 50, r9: 49, r8: 49}; after this round no entry's last driver
+    # verdict predates r9). 49 names + 1 slot reserved for this round's
+    # code-changed entries. Exactly ≤50.
+    "anomaly_zscore",
+    "asof_last_purchase",
+    "bigram_lm",
+    "bloom_decontaminate",
+    "csv_roundtrip",
+    "dedup_ngram_jaccard",
+    "domain_mix_weights",
+    "event_value_delta",
+    "events_hourly",
+    "events_hourly_gapfill",
+    "events_metrics_unpivot",
+    "events_props_json",
+    "events_rollup_multigrain",
+    "events_sliding",
+    "ewma_user_value",
+    "funnel_signup_click_purchase",
+    "global_rank_orders",
+    "heavy_hitters_cms",
+    "inverted_index_capped",
+    "join_key_skew",
+    "kv_final_state",
+    "kv_final_state_dedup",
+    "kv_get_visible",
+    "kv_stream_final_state",
+    "line_dedup_rewrite",
+    "lm_perplexity_filter",
+    "lsh_band_occupancy",
+    "pareto_orders",
+    "partitioned_prune_roundtrip",
+    "per_file_metrics_chunked",
+    "props_variant_histogram",
+    "purchase_within_hour_of_click",
+    "retention_cohorts",
+    "scd2_user_state",
+    "schema_evolution_roundtrip",
+    "session_window_native",
+    "sessionization",
+    "stream_click_purchase_join",
+    "stream_dedup_counts",
+    "stream_enriched_counts",
+    "stream_hourly_counts",
+    "stream_session_window_native",
+    "stream_sessions_gap_closed",
+    "stream_sliding_counts",
+    "top_event_values",
+    "user_event_pivot",
+    "wc",
+    "weighted_sample_docs",
+    "word_triangles",
+    # --- code changed this round (r11): ann_ivf_topk is one of the three
+    # repeat-offender bench queries (r10 verdict #1); if its code changes
+    # during the bisect it needs a fresh driver verdict, and it fills the
+    # 50th slot either way (last driver verdict r9 — next-stalest name).
+    "ann_ivf_topk",
 ]
 assert len(_WINDOW_PRIORITY) <= 50, len(_WINDOW_PRIORITY)
 
-# No staleness overflow this round: 2 (r6 heads) + 47 (r7 block) + 1
-# (code-changed ann_cosine_topk) is exactly 50. The r11 window is the
-# r8-stale block (49 names after this round's verdicts land).
+# No staleness overflow this round: 49 (r8 block) + 1 (ann_ivf_topk) is
+# exactly 50. The r12 window is the r9-stale block (48 names after this
+# round's verdicts land).
 _WINDOW_OVERFLOW: list[str] = []
 
-# r10 code-changed entries EXEMPTED from the window under the capacity
-# rule (all hold r8/r9 driver-green verdicts; all must be hash-green in
-# the r10 four-SF self-sweeps at HEAD):
-#   - events complete-mode size probe (r9 ADVICE): du_bytes
-#     (ContentSummary, counts _SUCCESS/.crc) -> du_suffix_bytes
-#     (*.parquet children only) in _events_stream/_drain_staged. Affects
-#     the 7 _drain_staged stream entries below. Behavior-neutral: the
-#     probe only picks the complete-mode SINK (memory vs parquet) and the
-#     output is hash-identical either way (pinned in r9 by the driver-
-#     green rows on both sides of the gate); the probe-value equivalence
-#     (new probe == the original per-*.parquet stat sum, on both a plain
-#     file and a Spark-written dir) is pinned by
-#     tests/test_fsutil.py::test_du_suffix_bytes_matches_stat_sum.
-#   - stream_user_totals_tws (r9 driver-green, was windowed r9): drain
-#     shaved per r9 verdict #5 — semantics pinned by
-#     test_tws_totals_converge_to_batch (hash vs the batch GROUP BY twin,
-#     which IS the oracle SQL).
-_WINDOW_EXEMPT_R10 = [
-    "stream_sessions_gap_closed",
-    "stream_hourly_counts",
-    "stream_dedup_counts",
-    "stream_enriched_counts",
-    "stream_sliding_counts",
-    "stream_click_purchase_join",
-    "stream_session_window_native",
-    "stream_user_totals_tws",
+# r11 code-changed entries EXEMPTED from the window under the capacity
+# rule (all hold r9/r10 driver-green verdicts; all must be hash-green in
+# the r11 four-SF self-sweeps at HEAD; every one is covered by
+# tests/test_oracle_parity.py at driver SF):
+#   - ann_ivf_topk_multiprobe, embedding_near_dup_ivf, embedding_near_dup
+#     (all r9 driver-green): the IVF assignment pass now threads the
+#     embedding through mapInPandas and shares one centroid broadcast
+#     (r10 verdict #1 drift repayment) — plan-only change; semantics
+#     pinned by test_oracle_parity + the IVF recall tests. The changed
+#     FAMILY representative ann_ivf_topk takes the window's 50th slot.
+#   - ann_cosine_topk (r10 driver-green): query-collect hard gate added
+#     (r10 verdict #4); the default path's plan is IDENTICAL below the
+#     1M-query bound (driver SF is ~10^2 queries) and the sliced path is
+#     hash-pinned by test_blocked_topk_sliced_path_hash_identical.
+_WINDOW_EXEMPT_R11 = [
+    "ann_ivf_topk_multiprobe",
+    "embedding_near_dup_ivf",
+    "embedding_near_dup",
+    "ann_cosine_topk",
 ]
 
 

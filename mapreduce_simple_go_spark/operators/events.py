@@ -947,26 +947,33 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_provider = spark.conf.get(_PROVIDER_KEY)
     except Exception:
         prev_provider = None
-    spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
-    # Stateful-shuffle sizing, size-gated (r10): at driver SF the flat
-    # per-partition cost dominates (32 RocksDB column-family stores per
-    # batch priced ~1.5 s/batch -> 8 partitions), but at 10x+ the fold is
-    # compute-bound and WANTS the parallelism (8 partitions measured 14.4 s
-    # vs 32's 12.3 s at sf1) — so only shrink below _TWS_SMALL_INPUT_BYTES
-    # and leave the session default above it. Same probe family as the
-    # complete-mode sink gate (fsutil, data files only).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    ev_src = os.path.join(sf_dir, "events.parquet")
-    if fsutil.du_suffix_bytes(spark, ev_src, ".parquet") < _TWS_SMALL_INPUT_BYTES:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ev = load_events(spark, sf_dir).select("ts", "user_id", "event_id")
-    # Staging through fsutil (r9): scratch may be a shared URI
-    # (SPARK_GRAFT_SCRATCH_DIR) and the per-file copy is an FS-to-FS
-    # Hadoop FileUtil copy, so the multi-drop layout works off the
-    # driver's local disk too. Copy order stamps ascending mtimes — the
-    # file source's micro-batch order.
-    root = fsutil.mkscratch(spark, "ev_tws_q_")
+    # Everything from the first conf.set onward sits inside ONE
+    # try/finally (r10 ADVICE): the size probe, load_events, and
+    # mkscratch can all raise (e.g. a missing events path surfaces as a
+    # py4j FileNotFound from the probe), and the session confs must be
+    # restored on every such path — a leaked provider/partitions setting
+    # would silently reshape every later query in a suite run.
+    root = None
     try:
+        spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+        # Stateful-shuffle sizing, size-gated (r10): at driver SF the flat
+        # per-partition cost dominates (32 RocksDB column-family stores per
+        # batch priced ~1.5 s/batch -> 8 partitions), but at 10x+ the fold is
+        # compute-bound and WANTS the parallelism (8 partitions measured 14.4 s
+        # vs 32's 12.3 s at sf1) — so only shrink below _TWS_SMALL_INPUT_BYTES
+        # and leave the session default above it. Same probe family as the
+        # complete-mode sink gate (fsutil, data files only).
+        ev_src = os.path.join(sf_dir, "events.parquet")
+        if fsutil.du_suffix_bytes(spark, ev_src, ".parquet") < _TWS_SMALL_INPUT_BYTES:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        ev = load_events(spark, sf_dir).select("ts", "user_id", "event_id")
+        # Staging through fsutil (r9): scratch may be a shared URI
+        # (SPARK_GRAFT_SCRATCH_DIR) and the per-file copy is an FS-to-FS
+        # Hadoop FileUtil copy, so the multi-drop layout works off the
+        # driver's local disk too. Copy order stamps ascending mtimes — the
+        # file source's micro-batch order.
+        root = fsutil.mkscratch(spark, "ev_tws_q_")
         src = root.rstrip("/") + "/src"
         fsutil.mkdirs(spark, src)
         # ONE staging job (r10): write all drops in a single
@@ -985,11 +992,20 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("drop")
             .parquet(stage)
         )
+        # A drop with no rows (degenerate fixture: empty events, or all
+        # event_id sharing one parity) writes no drop= directory at all —
+        # skip it instead of indexing into an empty listing (r10 ADVICE).
+        # Fewer staged files just means fewer micro-batches; the fold's
+        # semantics don't depend on the batch count.
         for i in range(_TWS_DROPS):
-            pfile = fsutil.list_files(
-                spark, stage + f"/drop={i}", suffix=".parquet"
-            )[0]
-            fsutil.copy(spark, pfile, src + f"/drop{i}.parquet")
+            try:
+                files = fsutil.list_files(
+                    spark, stage + f"/drop={i}", suffix=".parquet"
+                )
+            except Exception:  # missing drop= dir (FileNotFound via py4j)
+                continue
+            if files:
+                fsutil.copy(spark, files[0], src + f"/drop{i}.parquet")
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1014,7 +1030,8 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(_PROVIDER_KEY, prev_provider)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        fsutil.delete(spark, root)
+        if root is not None:
+            fsutil.delete(spark, root)
 
 
 # Micro-batch count for the tws drain: 2 proves cross-batch ValueState

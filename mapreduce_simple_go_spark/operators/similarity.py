@@ -208,6 +208,22 @@ _BLOCK_TIE_MARGIN = 2e-9
 _Q_CHUNK = 2048
 
 
+# Hard gate on the blocked scan's query-side collect (r10 verdict #4):
+# at most this many query vectors are collected/broadcast per slice.
+# 1M x (64 float64 + id) ~= 0.5 GB — the docstring's own stated broadcast
+# bound, now enforced in code like every other collect in the repo. Above
+# it the query set splits into contiguous query_id RANGES (boundary ids
+# found by an O(n_slices) collect over a ranked id projection — ranges,
+# not a modulus, because fixture/production ids can cluster in one
+# residue class and silently blow the bound). Each range is an
+# INDEPENDENT one-pass blocked scan whose candidates union before the
+# (unchanged) exact re-rank — ranges partition the query set, so no
+# query's candidate generation ever sees a different matrix.
+_BLOCKED_QUERY_SLICE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BLOCKED_QUERY_SLICE_ROWS", str(1_000_000))
+)
+
+
 def _ann_exact_blocked(spark: SparkSession, base: DataFrame, queries: DataFrame) -> DataFrame:
     """Exact top-k via a two-stage blocked scan — the at-scale form.
 
@@ -229,16 +245,59 @@ def _ann_exact_blocked(spark: SparkSession, base: DataFrame, queries: DataFrame)
     the same IEEE operation sequence.
 
     100 TB notes: per-task memory is bounded by the query-chunk loop
-    (arrow_rows x _Q_CHUNK floats); the broadcast holds the whole query
-    set (q x 64 float64 — ~0.5 GB at 1M queries). Beyond ~1M queries per
-    job, split the query set into broadcast-sized slices and union the
-    per-slice results (each slice is an independent one-pass scan), or
-    co-partition both sides on an IVF cell structure instead.
+    (arrow_rows x _Q_CHUNK floats); the query-side driver collect and
+    broadcast are bounded by _BLOCKED_QUERY_SLICE_ROWS (~0.5 GB of
+    float64 at the 1M default) — a larger query set is sliced by
+    query_id modulus and each slice runs as an independent one-pass scan
+    (equivalence pinned by test_plans.py::test_blocked_topk_sliced_path).
+    Past ~10 slices, co-partition both sides on an IVF cell structure
+    instead of rescanning.
     """
+    q_count = queries.count()
+    if q_count <= _BLOCKED_QUERY_SLICE_ROWS:
+        return _rank_topk(_blocked_candidates(spark, base, queries))
+    # Boundary ids: every bound-th query_id in sorted order. The ranking
+    # window runs over the id PROJECTION only (8 B/row) and the collect
+    # is O(n_slices) — the gated quantity (the q x 64-float matrix) never
+    # exceeds the bound in any slice, by construction (query_id is unique).
+    bound = _BLOCKED_QUERY_SLICE_ROWS
+    w = Window.orderBy("query_id")
+    starts = [
+        r.query_id
+        for r in (
+            queries.select("query_id")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") - 1) % bound == 0)
+            .select("query_id")
+            .collect()
+        )
+    ]
+    cand = None
+    for s, lo in enumerate(starts):
+        part_q = queries.filter(F.col("query_id") >= lo)
+        if s + 1 < len(starts):
+            part_q = part_q.filter(F.col("query_id") < starts[s + 1])
+        part = _blocked_candidates(spark, base, part_q)
+        cand = part if cand is None else cand.unionByName(part)
+    return _rank_topk(cand)
+
+
+def _blocked_candidates(
+    spark: SparkSession, base: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """Stage 1 of :func:`_ann_exact_blocked` for ONE query slice: collect
+    + broadcast this slice's query matrix, scan the base once, emit the
+    margin-kept candidates with 9-dp rounded cosines."""
     import numpy as np
     import pandas as pd
 
     qrows = queries.select("query_id", "q_emb").collect()
+    if not qrows:
+        # A modulus slice can be empty when query_ids cluster; an empty
+        # candidate frame keeps the union shape-stable.
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double"
+        )
     qrows.sort(key=lambda r: r.query_id)
     qids = np.array([r.query_id for r in qrows], dtype=np.int64)
     QM = np.array([r.q_emb for r in qrows], dtype=np.float64)
@@ -293,10 +352,9 @@ def _ann_exact_blocked(spark: SparkSession, base: DataFrame, queries: DataFrame)
     cand = base.select("vec_id", "embedding").mapInPandas(
         go, schema="query_id long, vec_id long, raw double"
     )
-    scored = cand.select(
+    return cand.select(
         "query_id", "vec_id", F.round(F.col("raw"), 9).alias("cosine")
     )
-    return _rank_topk(scored)
 
 
 # Brute/blocked gate for the REGISTRY entry (r9 verdict #3). MEASURED
@@ -392,6 +450,8 @@ def assign_cells(
     base: DataFrame,
     nprobe: int = 1,
     cents_from: DataFrame | None = None,
+    bc=None,
+    keep_embedding: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment via broadcast numpy matrix + mapInPandas.
 
@@ -403,13 +463,24 @@ def assign_cells(
     (first argmax index — the centroid matrix is cent_id-sorted). Measured
     ~40x faster than the interpreted higher-order-aggregate join formulation
     at sf0.1 (160k pairs: 6.1 s -> the Arrow pass is sub-second).
+
+    ``bc``: precomputed :func:`_centroids` broadcast — pass it when several
+    assignment passes share one quantizer so the centroid selection (a
+    count + a TakeOrdered collect + a broadcast) runs ONCE per query, not
+    once per pass (r11, part of the ann_ivf_topk drift repayment).
+    ``keep_embedding``: emit each row's embedding through the pass, so
+    callers that need (cell, embedding) together skip a full shuffle join
+    of the base table back onto its own assignment — at 100 TB that join
+    IS the cost of the build phase; the pass-through is free (the column
+    is already in the Arrow batch).
     """
     import numpy as np
     import pandas as pd
 
-    # centroids come from the FULL base table even when assigning a subset
-    # (e.g. probing cells for the query rows only)
-    bc = _centroids(spark, base if cents_from is None else cents_from)
+    if bc is None:
+        # centroids come from the FULL base table even when assigning a
+        # subset (e.g. probing cells for the query rows only)
+        bc = _centroids(spark, base if cents_from is None else cents_from)
 
     def go(it):
         cids, CM, cn = bc.value
@@ -429,24 +500,29 @@ def assign_cells(
             k = min(nprobe, len(cids))
             if k == 1:
                 best = cos.argmax(axis=1)  # first max == lowest cent_id
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"], "crank": 1, "cell": cids[best]}
-                )
+                out = {"vec_id": pdf["vec_id"], "crank": 1, "cell": cids[best]}
+                if keep_embedding:
+                    out["embedding"] = pdf["embedding"]
+                yield pd.DataFrame(out)
             else:
                 # stable sort keeps cent_id order among raw-equal cosines
                 order = np.argsort(-cos, axis=1, kind="stable")[:, :k]
                 n = len(A)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": np.repeat(np.asarray(pdf["vec_id"]), k),
-                        "crank": np.tile(np.arange(1, k + 1), n),
-                        "cell": cids[order].reshape(-1),
-                    }
-                )
+                out = {
+                    "vec_id": np.repeat(np.asarray(pdf["vec_id"]), k),
+                    "crank": np.tile(np.arange(1, k + 1), n),
+                    "cell": cids[order].reshape(-1),
+                }
+                if keep_embedding:
+                    out["embedding"] = np.repeat(
+                        pdf["embedding"].to_numpy(), k
+                    )
+                yield pd.DataFrame(out)
 
-    return base.select("vec_id", "embedding").mapInPandas(
-        go, schema="vec_id long, crank int, cell long"
-    )
+    schema = "vec_id long, crank int, cell long"
+    if keep_embedding:
+        schema += ", embedding array<double>"
+    return base.select("vec_id", "embedding").mapInPandas(go, schema=schema)
 
 
 def _score_pairs_np(df: DataFrame, a_col: str, b_col: str, keep: list[str]) -> DataFrame:
@@ -496,29 +572,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> Data
     """
     base = _emb(spark, sf_dir)
 
-    assign = assign_cells(spark, base, nprobe=1).select("vec_id", "cell")
-    base_cells = base.join(assign, "vec_id")
-
-    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    probes = assign_cells(
+    # ONE quantizer for both assignment passes (r11): _centroids costs a
+    # count + a TakeOrdered collect + a broadcast — running it per pass
+    # (as before) doubled that fixed cost for zero benefit, since both
+    # passes must share the cell structure anyway.
+    bc = _centroids(spark, base)
+    # keep_embedding threads each vector through its own assignment, so
+    # neither side pays a shuffle join back onto the base table (the old
+    # base ⋈ assign and probes ⋈ queries joins — at scale the former was
+    # a full shuffle of the corpus).
+    base_cells = assign_cells(
+        spark, base, nprobe=1, bc=bc, keep_embedding=True
+    ).select("vec_id", "cell", "embedding")
+    probe_q = assign_cells(
         spark,
         base.filter(F.col("vec_id") % QUERY_MOD == 0),
         nprobe=nprobe,
-        cents_from=base,
-    ).select(F.col("vec_id").alias("qid"), "cell")
-    probe_q = probes.join(
-        queries, probes.qid == queries.query_id
-    ).select("query_id", "cell", "q_emb")
+        bc=bc,
+        keep_embedding=True,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("embedding").alias("q_emb"),
+    )
 
-    # dedup (query, candidate) BEFORE scoring — a pair reachable through
-    # several shared cells is scored once; cosine is functionally determined
-    # by the pair so this equals the oracle's post-scoring DISTINCT.
-    cand = (
-        base_cells.join(broadcast(probe_q), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
+    # No (query, candidate) dedup is needed: the build assignment is
+    # nprobe=1, so every candidate lives in EXACTLY one cell and a pair
+    # can only be produced through that single cell however many cells
+    # the query probes — the oracle's post-scoring DISTINCT is a no-op
+    # on the same grounds.
+    cand = base_cells.join(broadcast(probe_q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
     )
     scored = _score_pairs_np(cand, "q_emb", "embedding", ["query_id", "vec_id"]).select(
         "query_id", "vec_id", F.round(F.col("raw"), 9).alias("cosine")
@@ -749,12 +833,13 @@ def embedding_near_dup_ivf(
     materialized. Recall vs brute force is what you trade; the pair (a, b)
     is found iff both land in the same cell.
     """
-    import numpy as np
-    import pandas as pd
-
     base = _emb(spark, sf_dir)
-    assign = assign_cells(spark, base, nprobe=1).select("vec_id", "cell")
-    cells = base.join(assign, "vec_id")
+    # keep_embedding: the assignment pass carries each vector's embedding
+    # through, so the cell structure never shuffle-joins back onto the
+    # base table (r11 — same join elimination as ann_ivf_topk).
+    cells = assign_cells(spark, base, nprobe=1, keep_embedding=True).select(
+        "vec_id", "cell", "embedding"
+    )
     a = cells.select(
         F.col("cell").alias("cell_a"),
         F.col("vec_id").alias("vec_a"),

@@ -118,6 +118,45 @@ def test_incomplete_bundle_fails_loudly_at_registration(tmp_path):
     assert out == ("NO-RAISE" if real == "True" else "RAISED")
 
 
+def test_incomplete_bundle_unwinds_and_next_fallback_wins(tmp_path):
+    """r11 (r10 ADVICE): an activating-but-incomplete bundle must be fully
+    unwound (sys.path, PYTHONPATH, cached google.* modules) and the NEXT
+    fallback probed — a stale first bundle must not mask a later complete
+    one, nor leave the process half-configured. Simulated with a broken
+    bundle ahead of the repo's vendored zip."""
+    root = tmp_path / "broken"
+    gp = root / "google" / "protobuf"
+    gp.mkdir(parents=True)
+    (root / "google" / "__init__.py").write_text("")
+    (gp / "__init__.py").write_text("__version__ = '0.0.0-test'\n")
+    out = _run(
+        f"""
+        import os, sys
+        sys.path.insert(0, {REPO!r})
+        import mapreduce_simple_go_spark._protobuf as P
+        broken = {str(root)!r}
+        P._FALLBACK_DIRS = (broken,) + P._FALLBACK_DIRS
+        try:
+            ok = P.ensure_protobuf()
+        except RuntimeError:
+            # No complete fallback on this host either — but the broken
+            # bundle must still have been unwound before the raise.
+            ok = None
+        assert broken not in sys.path, "broken bundle left on sys.path"
+        assert broken not in os.environ.get("PYTHONPATH", ""), (
+            "broken bundle left on PYTHONPATH"
+        )
+        if ok:
+            # The winner is a real runtime, not the broken bundle.
+            assert P.active_fallback_dir() != broken
+            from google.protobuf import descriptor
+            assert descriptor.__file__ is not None
+        print(ok)
+        """
+    )
+    assert out in {"True", "False", "None"}
+
+
 def test_driver_window_structure():
     """Window policy invariants that hold every round: the head the driver
     checks is at most 50 names, every window name resolves to a registered

@@ -443,6 +443,39 @@ def test_exact_blocked_topk_tie_margin_survives_tiny_blocks(spark):
     assert blocked == brute
 
 
+def test_blocked_topk_sliced_path_hash_identical(spark, monkeypatch):
+    """r11 (r10 verdict #4): the query-side collect is hard-gated at
+    _BLOCKED_QUERY_SLICE_ROWS — above it the query set splits into
+    contiguous query_id ranges, each an independent one-pass scan.
+    Forcing a tiny slice bound (several slices, at least one uneven) must
+    produce EXACTLY the unsliced rows: ranges partition the query set, so
+    no query's candidate generation ever sees a different matrix."""
+    import mapreduce_simple_go_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    base = S._emb(spark, SF_DIR)
+    queries = base.filter(F.col("vec_id") % S.QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    q_count = queries.count()
+    assert q_count > 3
+    unsliced = sorted(
+        map(tuple, S._ann_exact_blocked(spark, base, queries).collect())
+    )
+    # ceil(q/3)-row slices -> 3 modulus groups (uneven unless q % 3 == 0)
+    monkeypatch.setattr(S, "_BLOCKED_QUERY_SLICE_ROWS", -(-q_count // 3))
+    sliced = sorted(
+        map(tuple, S._ann_exact_blocked(spark, base, queries).collect())
+    )
+    # slice bound of 1 query -> one slice (and one base scan) per query,
+    # the maximal-slicing degenerate case
+    monkeypatch.setattr(S, "_BLOCKED_QUERY_SLICE_ROWS", 1)
+    single = sorted(
+        map(tuple, S._ann_exact_blocked(spark, base, queries).collect())
+    )
+    assert sliced == unsliced and single == unsliced and len(unsliced) > 0
+
+
 def test_ann_topk_gate_boundary(spark, monkeypatch):
     """The registry entry's gate flips exactly AT MAX_BRUTE_TOPK_ROWS and
     both sides return identical rows (the gate is a plan choice, not a
