@@ -59,6 +59,8 @@ def _drain_staged(
     sf_dir: str | None = None,
     stage_df: DataFrame | None = None,
     shuffle_partitions: int | None = None,
+    single_file: bool = True,
+    force_complete_parquet: bool = False,
 ) -> DataFrame:
     """Shared stage-and-drain ritual for the streaming registry entries.
 
@@ -93,10 +95,18 @@ def _drain_staged(
         if stage_df is not None:
             # ONE parquet file (coalesce(1)) so arrival order is row order;
             # streamed in place from the write dir via a glob — no
-            # driver-local copy step (r9, FS-agnostic staging)
+            # driver-local copy step (r9, FS-agnostic staging).
+            # single_file=False keeps the write PARALLEL for callers whose
+            # semantics are arrival-order-free (all files land in the one
+            # availableNow batch anyway) — the coalesce(1) write is a
+            # single-task funnel of the whole staged table (r11: ~3.5 s of
+            # stream_dedup_counts' 7 s at the 10x fixture was this write).
             scratch = mkscratch(spark, prefix)
             stage = scratch.rstrip("/") + "/stage"
-            stage_df.coalesce(1).write.mode("overwrite").parquet(stage)
+            staged_write = (
+                stage_df.coalesce(1) if single_file else stage_df
+            )
+            staged_write.write.mode("overwrite").parquet(stage)
             stream = stream_events(spark, stage, glob="*.parquet")
             # data files only, not _SUCCESS/.crc siblings (r9 ADVICE —
             # keeps the gate's threshold semantics equal to a plain-file
@@ -111,7 +121,24 @@ def _drain_staged(
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         try:
-            run_available_now(build(stream), name, mode, input_bytes)
+            # defer_cleanup: the final SELECT below localCheckpoints the
+            # result anyway, so the complete-parquet sink skips its own
+            # checkpoint (one materialization of a large result, not two)
+            # and hands us the scratch deleter to run after ours.
+            # force_complete_parquet: for operators whose COMPLETE result
+            # scales with the input (sessions ~= events), the input-byte
+            # gate mispredicts the memory sink's driver cost — the result
+            # is what must fit, not the source. input_bytes=None forces
+            # the executor-side parquet sink (r11: sf1 11.2 -> 9.6 s for
+            # session_window_native; no slower at driver SFs now that
+            # defer_cleanup removed the roundtrip's second checkpoint).
+            sink_cleanup = run_available_now(
+                build(stream),
+                name,
+                mode,
+                None if force_complete_parquet else input_bytes,
+                defer_cleanup=True,
+            )
         finally:
             if shuffle_partitions is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -122,6 +149,8 @@ def _drain_staged(
         out = spark.sql(select_sql.format(name=name)).localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(name)
+        if sink_cleanup is not None:
+            sink_cleanup()
     return out
 
 
@@ -531,14 +560,20 @@ def stream_sessions_gap_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     that one, and a bounded single-batch drain fires neither). Second
     registry row after kv_stream_final_state where the correctness gate
     hashes actual streaming-engine output.
+
+    r11: runs the BUCKET-keyed fold (session_fold_bucketed) — per-batch
+    emissions identical to the per-user fold (equivalence pinned incl.
+    timeout batches), with the ~1 ms-per-group Python overhead amortized
+    over ~|users|/32 users per call: the sf1 drain was ~15k Python calls
+    ≈ 15 s of pure call overhead, now ~32 calls.
     """
-    from ..streaming import session_fold
+    from ..streaming import session_fold_bucketed
 
     ev = load_events(spark, sf_dir).select(
         "user_id", "ts", "event_id", "value"
     ).orderBy("ts", "event_id")
     return _drain_staged(
-        spark, "sessfold_", session_fold, "append",
+        spark, "sessfold_", session_fold_bucketed, "append",
         "SELECT user_id, session_start_us, session_end_us, n_events, total_cents "
         "FROM {name} WHERE closed_by = 'gap'",
         stage_df=ev, shuffle_partitions=8,
@@ -668,7 +703,10 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         "SELECT event_type, COUNT(*) AS n_events, "
         "COUNT(DISTINCT event_id) AS n_distinct FROM {name} GROUP BY event_type",
-        stage_df=log,
+        # dedup + the final aggregate are arrival-order-free (one
+        # availableNow batch sees every row regardless of file layout), so
+        # the staging write stays parallel
+        stage_df=log, single_file=False,
     )
 
 
@@ -1387,6 +1425,10 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT user_id, session_start, session_end, n_events, total_value "
         "FROM {name}",
         sf_dir=sf_dir, shuffle_partitions=8,
+        # complete result ~= one row per session ~= input cardinality: the
+        # executor-side parquet sink beats the driver memory sink at every
+        # SF (see _drain_staged)
+        force_complete_parquet=True,
     )
 
 

@@ -1187,6 +1187,15 @@ def word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lt, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("d"),
     )
+    # Materialize the oriented edge list ONCE (r11): e1/e2/e3 reference it
+    # three times, and without a checkpoint each reference drags the whole
+    # corpus-tokenize -> bigram-group -> distinct -> degree-join subtree
+    # back into the plan (measured: 18 parquet scans / 53 Exchanges, only
+    # 7 AQE-reused). The edge list is vocabulary-bounded (|V|^2 worst
+    # case, in practice ~distinct bigrams) — tiny next to the corpus at
+    # every scale, so executor-resident blocks are the right trade at
+    # 100 TB too, exactly like word_pagerank's cached edges.
+    oriented = oriented.localCheckpoint(eager=True)
     e1 = oriented.select(F.col("s").alias("x"), F.col("d").alias("y"))
     e2 = oriented.select(F.col("s").alias("y"), F.col("d").alias("z"))
     e3 = oriented.select(F.col("s").alias("x"), F.col("d").alias("z"))

@@ -26,7 +26,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 def stream_events(
     spark: SparkSession, src_dir: str, glob: str | None = None
@@ -256,7 +262,8 @@ def run_available_now(
     query_name: str,
     output_mode: str,
     input_bytes: int | None = None,
-) -> None:
+    defer_cleanup: bool = False,
+):
     """Drain a bounded stream into a queryable temp view named ``query_name``.
 
     Append/update drains use the memory sink: their per-batch output is
@@ -296,6 +303,7 @@ def run_available_now(
 
         spark = stream_df.sparkSession
         sink = mkscratch(spark, f"{query_name}_sink_")
+        delete_in_finally = True
         try:
             q = (
                 stream_df.writeStream.foreachBatch(
@@ -310,10 +318,25 @@ def run_available_now(
                 out = spark.read.parquet(sink)
             else:  # zero batches ran (empty bounded source)
                 out = spark.createDataFrame([], stream_df.schema)
+            if defer_cleanup:
+                # The caller materializes the view itself (e.g.
+                # _drain_staged's final localCheckpoint) — skipping the
+                # checkpoint HERE avoids materializing a large complete
+                # result twice (r11: ~2 s of session_window_native's sf1
+                # drain), at the price that the caller MUST invoke the
+                # returned callback once done with the view.
+                out.createOrReplaceTempView(query_name)
+
+                def cleanup(spark=spark, sink=sink):
+                    fs_delete(spark, sink)
+
+                delete_in_finally = False  # deferred to the callback
+                return cleanup
             out.localCheckpoint(eager=True).createOrReplaceTempView(query_name)
         finally:
-            fs_delete(spark, sink)
-        return
+            if delete_in_finally:
+                fs_delete(spark, sink)
+        return None
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -322,6 +345,7 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    return None
 
 
 def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -507,6 +531,237 @@ def session_fold(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         _session_fold,
         outputStructType=_SESSION_OUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# Bucket count for the COARSE-KEYED sessionizer below. Sized so the state
+# shuffle still parallelizes (>= executor-thread count is the useful
+# ceiling locally) while the per-group Python overhead amortizes over
+# thousands of users per call. Env-overridable like the other scale knobs.
+SESSION_FOLD_BUCKETS = int(
+    os.environ.get("SPARK_GRAFT_SESSION_FOLD_BUCKETS", "32")
+)
+
+# Per-bucket state: the open session of every live user in the bucket, as
+# parallel arrays (kept sorted by user so the fold's carried-state lookup
+# is a vectorized searchsorted).
+_BUCKET_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("starts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("cents", ArrayType(LongType())),
+    ]
+)
+
+
+def _session_fold_bucketed(key, pdfs, state: GroupState):
+    """Gap-sessionizer for ONE BUCKET of users — batch-equivalent to
+    running :func:`_session_fold` per user, with the per-group Python
+    overhead amortized ~|bucket| times.
+
+    Why this exists (r11, r10 verdict #6): applyInPandasWithState hands
+    ONE group per Python call, and each call costs ~1 ms (function call +
+    per-group pandas frames) regardless of group size. Keyed by user,
+    1M events / 15k users at the 10x fixture spent ~15 s in that per-call
+    overhead alone — and at 100M users the same plan would spend ~28 CPU
+    HOURS on it. Coarsening the state key to ``pmod(user_id, B)`` buckets
+    makes the per-call overhead O(B) while the per-user session logic
+    runs VECTORIZED inside each call (numpy gaps-and-islands:
+    lexsort -> break flags -> reduceat).
+
+    Per-batch emission equivalence with the per-user fold (pinned by
+    tests/test_streaming.py::test_session_fold_bucketed_equivalence):
+    - data path: batch islands merge/spill against carried state exactly
+      like the per-user loop ('gap' rows identical);
+    - carried users with NO data this batch whose deadline the watermark
+      passed emit 'timeout' HERE, because their per-user twin would have
+      fired its own timeout invocation this same micro-batch (a key with
+      data never times out in that batch);
+    - timeout path (no data for the whole bucket): sweep every expired
+      user, keep the rest, re-arm at the minimum surviving deadline.
+    """
+    import numpy as np
+
+    cols = [f.name for f in _SESSION_OUT_SCHEMA.fields]
+    gap = SESSION_GAP_US
+    wm_ms = state.getCurrentWatermarkMs()
+
+    if state.exists:
+        su, ss, sl, sn, sc = (
+            np.asarray(a, dtype=np.int64) for a in state.get
+        )
+    else:
+        su = ss = sl = sn = sc = np.empty(0, dtype=np.int64)
+
+    def rows(u, s, e, n, c, why):
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "session_start_us": s,
+                "session_end_us": e,
+                "n_events": n,
+                "total_cents": c,
+                "closed_by": why,
+            },
+            columns=cols,
+        )
+
+    def arm_or_clear(u, s, e, n, c):
+        if len(u):
+            state.update(
+                (u.tolist(), s.tolist(), e.tolist(), n.tolist(), c.tolist())
+            )
+            # same deadline formula as the per-user fold, armed at the
+            # bucket's EARLIEST open deadline; clamped one ms past the
+            # watermark because Spark rejects a timeout at/below it (a
+            # kept user's deadline may equal the watermark exactly — the
+            # strict-< sweep leaves it for the next invocation)
+            state.setTimeoutTimestamp(
+                max(int(e.min()) // 1000 + gap // 1000, wm_ms + 1)
+            )
+        else:
+            state.remove()
+
+    deadline_ms = sl // 1000 + gap // 1000
+
+    if state.hasTimedOut:
+        fire = deadline_ms < wm_ms
+        keep = ~fire
+        out = rows(su[fire], ss[fire], sl[fire], sn[fire], sc[fire], "timeout")
+        arm_or_clear(su[keep], ss[keep], sl[keep], sn[keep], sc[keep])
+        yield out
+        return
+
+    frames = [p for p in pdfs if len(p)]
+    out_frames = []
+    if frames:
+        allev = frames[0] if len(frames) == 1 else pd.concat(
+            frames, ignore_index=True
+        )
+        u = allev["user_id"].to_numpy(np.int64)
+        ts = allev["ts_us"].to_numpy(np.int64)
+        eid = allev["event_id"].to_numpy(np.int64)
+        cents = allev["cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, cents = u[order], ts[order], cents[order]
+        # batch-local islands: a row starts a new island on user change or
+        # gap > threshold — identical split rule to the per-user loop
+        brk = np.empty(len(u), dtype=bool)
+        brk[0] = True
+        brk[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        s_idx = np.flatnonzero(brk)
+        e_idx = np.r_[s_idx[1:], len(u)] - 1
+        iu = u[s_idx]
+        ist = ts[s_idx].copy()
+        ila = ts[e_idx]
+        inn = (e_idx - s_idx + 1).astype(np.int64)
+        ic = np.add.reduceat(cents, s_idx).astype(np.int64)
+        first = np.empty(len(iu), dtype=bool)
+        first[0] = True
+        first[1:] = iu[1:] != iu[:-1]
+        last = np.empty(len(iu), dtype=bool)
+        last[-1] = True
+        last[:-1] = iu[1:] != iu[:-1]
+        f_idx = np.flatnonzero(first)
+        fu = iu[f_idx]  # ascending (iu is user-sorted)
+        # carried-state lookup for each user's FIRST island
+        if len(su):
+            ci = np.searchsorted(su, fu)
+            cic = np.minimum(ci, len(su) - 1)
+            ci_valid = su[cic] == fu
+            within = ci_valid & ((ist[f_idx] - sl[cic]) <= gap)
+            m, cm = f_idx[within], cic[within]
+            ist[m] = ss[cm]
+            inn[m] += sn[cm]
+            ic[m] += sc[cm]
+            # carried session too old to extend -> it closes as 'gap',
+            # exactly like the per-user loop's first iteration
+            sp = cic[ci_valid & ~within]
+            if len(sp):
+                out_frames.append(
+                    rows(su[sp], ss[sp], sl[sp], sn[sp], sc[sp], "gap")
+                )
+        # every non-final island of a user closed because a later event
+        # of the SAME user arrived -> 'gap'
+        g = ~last
+        if g.any():
+            out_frames.append(
+                rows(iu[g], ist[g], ila[g], inn[g], ic[g], "gap")
+            )
+        # new open sessions: each batch user's final island ...
+        nu, ns_, nl, nn_, nc = (
+            iu[last],
+            ist[last],
+            ila[last],
+            inn[last],
+            ic[last],
+        )
+        # ... plus carried users untouched this batch — minus those whose
+        # deadline the watermark passed (their per-user twin would have
+        # timed out in this same micro-batch)
+        if len(su):
+            untouched = ~np.isin(su, fu)
+            expired = untouched & (deadline_ms < wm_ms)
+            if expired.any():
+                out_frames.append(
+                    rows(
+                        su[expired],
+                        ss[expired],
+                        sl[expired],
+                        sn[expired],
+                        sc[expired],
+                        "timeout",
+                    )
+                )
+            keep = untouched & ~expired
+            if keep.any():
+                nu = np.concatenate([nu, su[keep]])
+                ns_ = np.concatenate([ns_, ss[keep]])
+                nl = np.concatenate([nl, sl[keep]])
+                nn_ = np.concatenate([nn_, sn[keep]])
+                nc = np.concatenate([nc, sc[keep]])
+                o = np.argsort(nu, kind="stable")
+                nu, ns_, nl, nn_, nc = nu[o], ns_[o], nl[o], nn_[o], nc[o]
+        arm_or_clear(nu, ns_, nl, nn_, nc)
+    yield (
+        pd.concat(out_frames, ignore_index=True)
+        if out_frames
+        else pd.DataFrame(columns=cols)
+    )
+
+
+def session_fold_bucketed(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    n_buckets: int = SESSION_FOLD_BUCKETS,
+) -> DataFrame:
+    """Bucket-keyed twin of :func:`session_fold` — identical per-batch
+    emissions, per-group Python overhead amortized over ~|users|/B users
+    per call (see :func:`_session_fold_bucketed`). The scale path for
+    high-cardinality key spaces whose per-key state is tiny."""
+    prepped = (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.round(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .withColumn(
+            "bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("long")
+        )
+    )
+    return prepped.groupBy("bucket").applyInPandasWithState(
+        _session_fold_bucketed,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_BUCKET_SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

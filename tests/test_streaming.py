@@ -313,6 +313,95 @@ def test_watermark_drops_data_later_than_allowance(spark, tmp_path):
     assert got == [("2024-01-01T00:00:00", 1)]
 
 
+def test_session_fold_bucketed_equivalence(spark, tmp_path):
+    """r11 (r10 verdict #6): the bucket-keyed sessionizer must emit, per
+    micro-batch, EXACTLY the per-user fold's rows — including 'timeout'
+    closures — on a 3-batch drain engineered to exercise every path:
+
+    - batch 2 extends one of u3's sessions across the batch boundary
+      (carried-state merge) and opens an in-batch second island (gap);
+    - u1 shares a bucket with batch-2 data but has none itself and its
+      deadline expired -> the DATA-path sweep must emit its 'timeout'
+      (its per-user twin times out in that same micro-batch);
+    - u2/u4's bucket receives NO batch-2 data at all -> the TIMEOUT-path
+      sweep must emit both.
+    """
+    from datetime import datetime as DT
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_simple_go_spark.streaming import (
+        session_fold,
+        session_fold_bucketed,
+    )
+
+    def ev(u, hh, mm, eid, val):
+        return (u, DT(2024, 1, 1, hh, mm), eid, val)
+
+    batches = [
+        # batch 1: u1/u2/u4 early (their 30-min deadlines all precede the
+        # watermark once u3's late activity sets max_ts=05:05 -> wm 03:05)
+        [
+            ev(1, 0, 0, 1, 1.0),
+            ev(1, 0, 10, 2, 2.0),
+            ev(2, 0, 0, 3, 3.0),
+            ev(4, 0, 20, 4, 4.0),
+            ev(3, 5, 0, 5, 5.0),
+            ev(3, 5, 5, 6, 6.0),
+        ],
+        # batch 2: only odd users (bucket 1 under pmod 2) have data
+        [
+            ev(3, 5, 20, 7, 7.0),   # within gap of 05:05 -> merges
+            ev(3, 6, 30, 8, 8.0),   # > 30 min after 05:20 -> closes as gap
+            ev(5, 6, 0, 9, 9.0),
+        ],
+        # batch 3: advance the watermark far enough to expire everyone
+        [ev(5, 12, 0, 10, 10.0)],
+    ]
+    src = tmp_path / "sess_eq_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"b{i}"))
+        pq = [
+            f
+            for f in os.listdir(tmp_path / f"b{i}")
+            if f.endswith(".parquet")
+        ][0]
+        shutil.copy(tmp_path / f"b{i}" / pq, src / f"drop{i}.parquet")
+
+    def drain(build, name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_available_now(build(stream), name, "append")
+        rows = spark.sql(
+            "SELECT user_id, session_start_us, session_end_us, n_events, "
+            f"total_cents, closed_by FROM {name}"
+        ).collect()
+        spark.catalog.dropTempView(name)
+        return sorted(tuple(r) for r in rows)
+
+    per_user = drain(session_fold, "sess_eq_user")
+    bucketed = drain(
+        lambda ev_df: session_fold_bucketed(ev_df, n_buckets=2),
+        "sess_eq_bucket",
+    )
+    assert per_user == bucketed
+    whys = {r[-1] for r in per_user}
+    # the fixture must actually exercise both closure paths
+    assert whys == {"gap", "timeout"}, whys
+    # and the specific engineered closures must be present
+    by_user_why = {(r[0], r[-1]) for r in per_user}
+    assert (1, "timeout") in by_user_why  # data-path sweep bucket
+    assert (2, "timeout") in by_user_why  # timeout-path sweep bucket
+    assert (3, "gap") in by_user_why
+
+
 def test_session_fold_event_time_timeout_matches_batch(spark, events_src):
     """The custom applyInPandasWithState sessionizer (event-time timeout)
     must agree with batch gaps-and-islands sessionization:
