@@ -131,11 +131,17 @@ _WINDOW_OVERFLOW: list[str] = []
 #     (r10 verdict #4); the default path's plan is IDENTICAL below the
 #     1M-query bound (driver SF is ~10^2 queries) and the sliced path is
 #     hash-pinned by test_blocked_topk_sliced_path_hash_identical.
+#   - stream_user_totals_tws (r9 driver-green): error-path-only change —
+#     the provider/partitions conf mutations moved inside the try/finally
+#     (r10 ADVICE) and absent staged drop partitions are skipped; the
+#     happy path executes the identical statements in the identical
+#     order. Semantics pinned by test_tws_totals_converge_to_batch.
 _WINDOW_EXEMPT_R11 = [
     "ann_ivf_topk_multiprobe",
     "embedding_near_dup_ivf",
     "embedding_near_dup",
     "ann_cosine_topk",
+    "stream_user_totals_tws",
 ]
 
 
