@@ -118,7 +118,20 @@ def _drain_staged(
         # staged-source size gates the complete-mode sink (memory below
         # the threshold, parquet above)
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        if shuffle_partitions is not None:
+        # The shuffle_partitions override is a SMALL-INPUT optimization
+        # (fewer state stores when the flat per-partition cost dominates)
+        # and is gated on input size like tws' r10 gate: above the
+        # threshold the stateful fold is compute-bound and WANTS the
+        # session default's parallelism — the r11 sf10 sweep measured the
+        # hard-pinned 8 costing the bucketed sessionizer ~4x (and it was
+        # the memory pressure behind a Python-worker crash). Threshold is
+        # 32 MB here (vs tws' 8 MB): at the 17.9 MB 10x fixture the
+        # narrow width still wins for these drains (session_window_native
+        # isolated best-of-4: 9.3 s at 8 partitions vs 11.7 s at 32).
+        if (
+            shuffle_partitions is not None
+            and input_bytes < _DRAIN_SMALL_INPUT_BYTES
+        ):
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         try:
             # defer_cleanup: the final SELECT below localCheckpoints the
@@ -567,13 +580,24 @@ def stream_sessions_gap_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ~|users|/32 users per call: the sf1 drain was ~15k Python calls
     ≈ 15 s of pure call overhead, now ~32 calls.
     """
-    from ..streaming import session_fold_bucketed
+    from .. import fsutil
+    from ..streaming import SESSION_FOLD_BUCKETS, session_fold_bucketed
 
     ev = load_events(spark, sf_dir).select(
         "user_id", "ts", "event_id", "value"
     ).orderBy("ts", "event_id")
+    # Bucket count scales with the input so per-bucket Arrow payloads stay
+    # bounded (~32 MB of source per bucket-group): 32 at driver SFs, ~192
+    # at the 100x fixture — measured there, 256 buckets beat 32 by ~25%
+    # and smaller per-group emissions remove the worker-memory cliff.
+    src_bytes = fsutil.du_suffix_bytes(
+        spark, os.path.join(sf_dir, "events.parquet"), ".parquet"
+    )
+    n_buckets = SESSION_FOLD_BUCKETS * max(1, src_bytes // (32 << 20))
     return _drain_staged(
-        spark, "sessfold_", session_fold_bucketed, "append",
+        spark, "sessfold_",
+        lambda st: session_fold_bucketed(st, n_buckets=n_buckets),
+        "append",
         "SELECT user_id, session_start_us, session_end_us, n_events, total_cents "
         "FROM {name} WHERE closed_by = 'gap'",
         stage_df=ev, shuffle_partitions=8,
@@ -1084,6 +1108,12 @@ _TWS_DROPS = 2
 # docstring). sf0.1's events sit ~2 MB, sf1's ~18 MB.
 _TWS_SMALL_INPUT_BYTES = int(
     os.environ.get("SPARK_GRAFT_TWS_SMALL_INPUT_BYTES", str(8 * 1024 * 1024))
+)
+
+# Small-input gate for _drain_staged's shuffle_partitions override (r11;
+# measured threshold — see the gate's comment in _drain_staged).
+_DRAIN_SMALL_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DRAIN_SMALL_INPUT_BYTES", str(32 * 1024 * 1024))
 )
 
 

@@ -55,6 +55,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # real tracebacks when a Python worker dies on a signal (r11: a
+        # worker crash inside a stateful fold surfaced as an opaque
+        # "exited unexpectedly" without this; negligible overhead)
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
