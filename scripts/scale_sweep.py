@@ -83,6 +83,15 @@ def timed(fn, spark, sf_dir, passes):
         df = fn(spark, sf_dir)
         if _METHOD == "topandas":
             rows = len(df.toPandas())
+        elif _METHOD == "noop":
+            # distributed materialization without any driver transfer —
+            # the only honest way to time an operator whose OUTPUT is
+            # tens of millions of rows (the r11 sf100 spot-check's
+            # sessionizer emits ~94M; py4j/Arrow transfer would dwarf the
+            # compute being measured). Exponents stay comparable as long
+            # as BOTH scale points use the same method.
+            df.write.format("noop").mode("overwrite").save()
+            rows = -1
         else:
             rows = len(df.collect())
         best = min(best, time.monotonic() - t0)
