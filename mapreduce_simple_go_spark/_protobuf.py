@@ -147,6 +147,7 @@ def ensure_protobuf() -> bool:
             # Gencode may be one minor version ahead of the bundled
             # runtime; protobuf's own escape hatch accepts the skew. Set
             # before any gencode module (StateMessage_pb2) is imported.
+            prev_version_flag = os.environ.get(_VERSION_FLAG)
             os.environ.setdefault(_VERSION_FLAG, "true")
             prev_pythonpath = os.environ.get("PYTHONPATH")
             os.environ["PYTHONPATH"] = d + os.pathsep + (prev_pythonpath or "")
@@ -166,13 +167,27 @@ def ensure_protobuf() -> bool:
                     os.environ.pop("PYTHONPATH", None)
                 else:
                     os.environ["PYTHONPATH"] = prev_pythonpath
+                if prev_version_flag is None:
+                    os.environ.pop(_VERSION_FLAG, None)
+                else:
+                    os.environ[_VERSION_FLAG] = prev_version_flag
                 sys.path.remove(d)
-                for mod in [
-                    m
-                    for m in sys.modules
-                    if m == "google" or m.startswith("google.")
-                ]:
-                    del sys.modules[mod]
+                # Purge ONLY modules loaded from the failed bundle dir —
+                # host-owned google.* namespace packages (google.auth etc.
+                # imported earlier by unrelated code) must survive the
+                # unwind; importers hold references and would keep stale
+                # module objects (r11 ADVICE).
+                for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+                    obj = sys.modules[mod]
+                    locs = list(getattr(obj, "__path__", []) or [])
+                    f = getattr(obj, "__file__", None)
+                    if f:
+                        locs.append(f)
+                    if mod == "google" and not locs:
+                        # bare namespace stub created by this probe
+                        del sys.modules[mod]
+                    elif any(os.path.abspath(p).startswith(os.path.abspath(d) + os.sep) for p in locs):
+                        del sys.modules[mod]
                 importlib.invalidate_caches()
                 continue
             return True

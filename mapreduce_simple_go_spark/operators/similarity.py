@@ -247,14 +247,22 @@ def _ann_exact_blocked(spark: SparkSession, base: DataFrame, queries: DataFrame)
     100 TB notes: per-task memory is bounded by the query-chunk loop
     (arrow_rows x _Q_CHUNK floats); the query-side driver collect and
     broadcast are bounded by _BLOCKED_QUERY_SLICE_ROWS (~0.5 GB of
-    float64 at the 1M default) — a larger query set is sliced by
-    query_id modulus and each slice runs as an independent one-pass scan
-    (equivalence pinned by test_plans.py::test_blocked_topk_sliced_path).
-    Past ~10 slices, co-partition both sides on an IVF cell structure
-    instead of rescanning.
+    float64 at the 1M default) — a larger query set is split into
+    contiguous query_id RANGES and each range runs as an independent
+    one-pass scan (equivalence pinned by
+    tests/test_similarity.py::test_blocked_topk_sliced_path_hash_identical).
+    The bound is per-collect/per-broadcast, NOT aggregate: each slice's
+    numpy matrix lives in its mapInPandas closure and the slices union
+    into one plan, so the driver transiently holds ~bound x n_slices
+    until execution releases the broadcasts. Past ~10 slices the right
+    fix is co-partitioning both sides on an IVF cell structure instead
+    of rescanning — this path is the escape hatch, not the scale plan.
     """
-    q_count = queries.count()
-    if q_count <= _BLOCKED_QUERY_SLICE_ROWS:
+    # Cheap bound probe: the common path (query set far below the slice
+    # bound) must not pay a full count job — limit(bound+1) short-circuits
+    # the scan as soon as bound+1 rows are seen.
+    probe = queries.limit(_BLOCKED_QUERY_SLICE_ROWS + 1).count()
+    if probe <= _BLOCKED_QUERY_SLICE_ROWS:
         return _rank_topk(_blocked_candidates(spark, base, queries))
     # Boundary ids: every bound-th query_id in sorted order. The ranking
     # window runs over the id PROJECTION only (8 B/row) and the collect
@@ -293,8 +301,9 @@ def _blocked_candidates(
 
     qrows = queries.select("query_id", "q_emb").collect()
     if not qrows:
-        # A modulus slice can be empty when query_ids cluster; an empty
-        # candidate frame keeps the union shape-stable.
+        # Defensive invariant: range slices are non-empty by construction
+        # (each starts at an existing query_id), but an empty input frame
+        # still needs a shape-stable empty candidate frame.
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cosine double"
         )
