@@ -925,22 +925,33 @@ def connected_components(
     All paths produce identical output (asserted in tests/test_sampling.py
     and tests/test_star_components.py).
     """
+    edges = edges.select("src", "dst")
+    if algorithm != "star" and driver_threshold > 0:
+        # Driver-tier probe in ONE job: limit(threshold+1) both sizes the
+        # graph AND (when small) hands over every edge — replacing the
+        # r11 shape's three jobs (eager localCheckpoint + count + collect)
+        # whose fixed overhead dominated dedup_clusters at bench SFs
+        # (~1 s of the entry's 2.5 s was CC job overhead, r12 bisect).
+        # When the probe overflows, the collected prefix is discarded and
+        # the distributed tiers below pay one extra PARTIAL evaluation of
+        # the upstream pipeline (limit short-circuits the scan) — the
+        # small-graph case is the overwhelmingly common one for near-dup
+        # candidate graphs, which are far sparser than the corpus.
+        probe = edges.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            spark = edges.sparkSession
+            labels = _union_find_labels((r.src, r.dst) for r in probe)
+            return spark.createDataFrame(
+                sorted(labels.items()), schema="node long, label long"
+            )
     # materialize the edge list ONCE — the symmetric union below would
     # otherwise re-evaluate the (expensive) upstream pair pipeline twice
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     if algorithm == "star":
         return _star_components(
             edges.union(
                 edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-        )
-    if edges.count() <= driver_threshold:
-        spark = edges.sparkSession
-        labels = _union_find_labels(
-            (r.src, r.dst) for r in edges.collect()
-        )
-        return spark.createDataFrame(
-            sorted(labels.items()), schema="node long, label long"
         )
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -693,10 +693,16 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming import hourly_counts
 
+    # State is ~#(hour, event_type) groups — thousands of rows however big
+    # the input. Streaming disables AQE, so without this the stateful
+    # shuffle runs the session-default 32 partitions and pays 32 state-
+    # store open/commit roundtrips per batch for a state that fits in one
+    # (r12 bisect: width 32 -> 8 cut the warm drain 1.84 -> 1.31 s at
+    # sf0.1). The _drain_staged gate applies it only below 32 MB of input.
     return _drain_staged(
         spark, "evh_", hourly_counts, "complete",
         "SELECT hour, event_type, n_events, total_value FROM {name}",
-        sf_dir=sf_dir,
+        sf_dir=sf_dir, shuffle_partitions=8,
     )
 
 
@@ -808,10 +814,13 @@ def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
         "c_custkey", "c_mktsegment"
     )
+    # State is one row per (mktsegment, event_type) — ~25 rows; same
+    # narrow-stateful-width rationale as stream_hourly_counts (gated on
+    # input size in _drain_staged).
     return _drain_staged(
         spark, "eve_", lambda st: enriched_counts(st, dim), "complete",
         "SELECT c_mktsegment, event_type, n_events, total_value FROM {name}",
-        sf_dir=sf_dir,
+        sf_dir=sf_dir, shuffle_partitions=8,
     )
 
 
@@ -1175,10 +1184,13 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming import sliding_counts
 
+    # State is ~2 windows per (hour, event_type) — thousands of rows; same
+    # narrow-stateful-width rationale as stream_hourly_counts (gated on
+    # input size in _drain_staged).
     return _drain_staged(
         spark, "evs_", sliding_counts, "complete",
         "SELECT window_start, event_type, n_events, total_value FROM {name}",
-        sf_dir=sf_dir,
+        sf_dir=sf_dir, shuffle_partitions=8,
     )
 
 
