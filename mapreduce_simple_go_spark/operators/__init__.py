@@ -50,98 +50,92 @@ def _modules():
 # take a slot. Overflow from the staleness rotation goes to
 # _WINDOW_OVERFLOW (positions 51+, the head of the NEXT round's window).
 _WINDOW_PRIORITY = [
-    # --- round 11 window (r10 verdict #2): the full 49-entry r8-stale block
-    # (computed by union over CORRECTNESS_r01..r10: staleness after r10 is
-    # {r10: 50, r9: 49, r8: 49}; after this round no entry's last driver
-    # verdict predates r9). 49 names + 1 slot reserved for this round's
-    # code-changed entries. Exactly ≤50.
-    "anomaly_zscore",
-    "asof_last_purchase",
-    "bigram_lm",
-    "bloom_decontaminate",
-    "csv_roundtrip",
-    "dedup_ngram_jaccard",
-    "domain_mix_weights",
-    "event_value_delta",
-    "events_hourly",
-    "events_hourly_gapfill",
-    "events_metrics_unpivot",
-    "events_props_json",
-    "events_rollup_multigrain",
-    "events_sliding",
-    "ewma_user_value",
-    "funnel_signup_click_purchase",
-    "global_rank_orders",
-    "heavy_hitters_cms",
-    "inverted_index_capped",
-    "join_key_skew",
-    "kv_final_state",
-    "kv_final_state_dedup",
-    "kv_get_visible",
-    "kv_stream_final_state",
-    "line_dedup_rewrite",
-    "lm_perplexity_filter",
-    "lsh_band_occupancy",
-    "pareto_orders",
-    "partitioned_prune_roundtrip",
-    "per_file_metrics_chunked",
-    "props_variant_histogram",
-    "purchase_within_hour_of_click",
-    "retention_cohorts",
-    "scd2_user_state",
-    "schema_evolution_roundtrip",
-    "session_window_native",
-    "sessionization",
-    "stream_click_purchase_join",
-    "stream_dedup_counts",
-    "stream_enriched_counts",
+    # --- round 12 window (r11 verdict #4): the full 48-entry r9-stale block
+    # (union over CORRECTNESS_r01..r11: staleness after r11 is
+    # {r11: 50, r10: 50, r9: 48}; after this round no entry's last driver
+    # verdict predates r10). 48 names + 2 slots for this round's
+    # code-changed entries. Exactly 50.
+    "ann_ivf_topk_multiprobe",
+    "count_per_key",
+    "cube_order_stats",
+    "customer_balance_quartiles",
+    "customers_never_ordered",
+    "data_profile_orders",
+    "dedup_clusters",
+    "dedup_clusters_distributed",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_salted",
+    "distinct_parts_per_supplier",
+    "doc_chunks",
+    "embedding_near_dup",
+    "embedding_near_dup_ivf",
+    "embedding_norm_stats",
+    "grouping_sets_revenue",
+    "inverted_index",
+    "kv_shard_distribution",
+    "median_order_by_segment",
+    "multimodal_audio_stats",
+    "multimodal_audio_wav",
+    "parts_above_brand_avg",
+    "per_file_metrics",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_bracket_revenue",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q3_bucketed_ingest",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "revenue_by_month",
+    "rolling_7day_revenue",
+    "rollup_order_revenue",
+    "salted_segment_revenue",
+    "set_ops_customers",
+    "sketch_distinct_accuracy",
+    "sketch_percentile_accuracy",
+    "stream_user_totals_tws",
+    "top_customers_per_nation",
+    "training_corpus_pipeline",
+    # --- code changed this round (r12), taking the 2 remaining slots:
+    # q11_important_stock (plan change: cached per_part + scalar total —
+    # one lineitem scan instead of two) and stream_hourly_counts (narrow
+    # gated stateful width; representative of the three width-shaved
+    # drains). Conveniently the round's OTHER plan-changed entries
+    # (dedup_clusters / dedup_clusters_distributed / dedup_keep_best, via
+    # the connected-components driver-tier probe) are r9-stale and already
+    # hold slots above.
+    "q11_important_stock",
     "stream_hourly_counts",
-    "stream_session_window_native",
-    "stream_sessions_gap_closed",
-    "stream_sliding_counts",
-    "top_event_values",
-    "user_event_pivot",
-    "wc",
-    "weighted_sample_docs",
-    "word_triangles",
-    # --- code changed this round (r11): ann_ivf_topk is one of the three
-    # repeat-offender bench queries (r10 verdict #1); if its code changes
-    # during the bisect it needs a fresh driver verdict, and it fills the
-    # 50th slot either way (last driver verdict r9 — next-stalest name).
-    "ann_ivf_topk",
 ]
 assert len(_WINDOW_PRIORITY) <= 50, len(_WINDOW_PRIORITY)
 
-# No staleness overflow this round: 49 (r8 block) + 1 (ann_ivf_topk) is
-# exactly 50. The r12 window is the r9-stale block (48 names after this
-# round's verdicts land).
+# No staleness overflow this round: 48 (r9 block) + 2 (code-changed) is
+# exactly 50. The r13 window is the r10-stale block (the r10 window's 50
+# names minus any re-verified sooner).
 _WINDOW_OVERFLOW: list[str] = []
 
-# r11 code-changed entries EXEMPTED from the window under the capacity
-# rule (all hold r9/r10 driver-green verdicts; all must be hash-green in
-# the r11 four-SF self-sweeps at HEAD; every one is covered by
+# r12 code-changed entries EXEMPTED from the window under the capacity
+# rule (each holds an r11 driver-green verdict; each must be hash-green in
+# the r12 four-SF self-sweeps at HEAD; every one is covered by
 # tests/test_oracle_parity.py at driver SF):
-#   - ann_ivf_topk_multiprobe, embedding_near_dup_ivf, embedding_near_dup
-#     (all r9 driver-green): the IVF assignment pass now threads the
-#     embedding through mapInPandas and shares one centroid broadcast
-#     (r10 verdict #1 drift repayment) — plan-only change; semantics
-#     pinned by test_oracle_parity + the IVF recall tests. The changed
-#     FAMILY representative ann_ivf_topk takes the window's 50th slot.
-#   - ann_cosine_topk (r10 driver-green): query-collect hard gate added
-#     (r10 verdict #4); the default path's plan is IDENTICAL below the
-#     1M-query bound (driver SF is ~10^2 queries) and the sliced path is
-#     hash-pinned by test_blocked_topk_sliced_path_hash_identical.
-#   - stream_user_totals_tws (r9 driver-green): error-path-only change —
-#     the provider/partitions conf mutations moved inside the try/finally
-#     (r10 ADVICE) and absent staged drop partitions are skipped; the
-#     happy path executes the identical statements in the identical
-#     order. Semantics pinned by test_tws_totals_converge_to_batch.
-_WINDOW_EXEMPT_R11 = [
-    "ann_ivf_topk_multiprobe",
-    "embedding_near_dup_ivf",
-    "embedding_near_dup",
-    "ann_cosine_topk",
-    "stream_user_totals_tws",
+#   - stream_enriched_counts, stream_sliding_counts (both r11
+#     driver-green): width-only change — they now pass
+#     shuffle_partitions=8 through _drain_staged's EXISTING 32 MB
+#     input-size gate, the identical mechanism stream_session_window_native
+#     and kv_stream_final_state already exercised under driver verdicts;
+#     output semantics are width-independent (hash-pinned by the oracle
+#     parity suite at driver SF and the r12 self-sweeps). The family
+#     representative stream_hourly_counts takes a window slot.
+_WINDOW_EXEMPT_R12 = [
+    "stream_enriched_counts",
+    "stream_sliding_counts",
 ]
 
 
