@@ -105,14 +105,15 @@ _WINDOW_PRIORITY = [
     "training_corpus_pipeline",
     # --- code changed this round (r12), taking the 2 remaining slots:
     # q11_important_stock (plan change: cached per_part + scalar total —
-    # one lineitem scan instead of two) and stream_hourly_counts (narrow
-    # gated stateful width; representative of the three width-shaved
-    # drains). Conveniently the round's OTHER plan-changed entries
+    # one lineitem scan instead of two) and ann_srp_topk (the sf100
+    # spot-check exposed its wide pair shuffle; pairs are now scored
+    # map-side and deduped NARROW — the riskiest semantic change of the
+    # round, so it takes a slot). The round's OTHER plan-changed entries
     # (dedup_clusters / dedup_clusters_distributed / dedup_keep_best, via
     # the connected-components driver-tier probe) are r9-stale and already
     # hold slots above.
     "q11_important_stock",
-    "stream_hourly_counts",
+    "ann_srp_topk",
 ]
 assert len(_WINDOW_PRIORITY) <= 50, len(_WINDOW_PRIORITY)
 
@@ -125,15 +126,15 @@ _WINDOW_OVERFLOW: list[str] = []
 # rule (each holds an r11 driver-green verdict; each must be hash-green in
 # the r12 four-SF self-sweeps at HEAD; every one is covered by
 # tests/test_oracle_parity.py at driver SF):
-#   - stream_enriched_counts, stream_sliding_counts (both r11
-#     driver-green): width-only change — they now pass
+#   - stream_hourly_counts, stream_enriched_counts, stream_sliding_counts
+#     (all r11 driver-green): width-only change — they now pass
 #     shuffle_partitions=8 through _drain_staged's EXISTING 32 MB
 #     input-size gate, the identical mechanism stream_session_window_native
 #     and kv_stream_final_state already exercised under driver verdicts;
 #     output semantics are width-independent (hash-pinned by the oracle
-#     parity suite at driver SF and the r12 self-sweeps). The family
-#     representative stream_hourly_counts takes a window slot.
+#     parity suite at driver SF and the r12 self-sweeps).
 _WINDOW_EXEMPT_R12 = [
+    "stream_hourly_counts",
     "stream_enriched_counts",
     "stream_sliding_counts",
 ]

@@ -1055,18 +1055,25 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.posexplode(F.col("bands")).alias("q_band_idx", "q_band_val"),
     )
-    cand = (
-        sigs.join(
-            broadcast(q_sigs),
-            (F.col("band_idx") == F.col("q_band_idx"))
-            & (F.col("band_val") == F.col("q_band_val"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", "vec_id", "q_emb", "embedding")
+    # Score BEFORE deduping, while both embeddings are still map-side from
+    # the broadcast join — then only NARROW (query_id, vec_id, cosine)
+    # rows ever cross an Exchange. The r12 sf100 spot-check caught the old
+    # shape (dedup first, embeddings riding the pair shuffle) writing
+    # ~700 B/pair of sort spill — at the 1000x fixture that was >76 GB of
+    # disk for ~10^9 pre-dedup collisions, a genuine 100 TB killer. A pair
+    # colliding in k bands is now scored k times (identical IEEE sequence
+    # -> identical rows, so the aggregate dedup below is exact), trading
+    # a few redundant map-side FLOPs for ~30x less shuffle.
+    cand = sigs.join(
+        broadcast(q_sigs),
+        (F.col("band_idx") == F.col("q_band_idx"))
+        & (F.col("band_val") == F.col("q_band_val"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", "q_emb", "embedding")
+    scored = (
+        _score_pairs_np(cand, "q_emb", "embedding", ["query_id", "vec_id"])
+        .select("query_id", "vec_id", F.round(F.col("raw"), 9).alias("cosine"))
         .dropDuplicates(["query_id", "vec_id"])
-    )
-    scored = _score_pairs_np(cand, "q_emb", "embedding", ["query_id", "vec_id"]).select(
-        "query_id", "vec_id", F.round(F.col("raw"), 9).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -157,6 +157,55 @@ def test_incomplete_bundle_unwinds_and_next_fallback_wins(tmp_path):
     assert out in {"True", "False", "None"}
 
 
+def test_unwind_spares_host_owned_google_modules(tmp_path):
+    """r12 (r11 ADVICE): the incomplete-bundle unwind must purge ONLY
+    google.* modules loaded from the failed bundle dir — a host-owned
+    google.* package imported earlier by unrelated code (google.auth et
+    al.) must keep its sys.modules entry, because importers hold live
+    references that a blanket purge would silently de-sync. Simulated with
+    a fake host-owned google.hostpkg on sys.path BEFORE the broken bundle
+    probes, and the version-flag env var must return to its pre-probe
+    value."""
+    host = tmp_path / "host"
+    hp = host / "google" / "hostpkg"
+    hp.mkdir(parents=True)
+    (hp / "__init__.py").write_text("MARK = 'host'\n")
+    broken = tmp_path / "broken"
+    gp = broken / "google" / "protobuf"
+    gp.mkdir(parents=True)
+    (broken / "google" / "__init__.py").write_text("")
+    (gp / "__init__.py").write_text("__version__ = '0.0.0-test'\n")
+    out = _run(
+        f"""
+        import os, sys
+        sys.path.insert(0, {str(host)!r})
+        sys.path.insert(0, {REPO!r})
+        import google.hostpkg
+        host_mod = sys.modules["google.hostpkg"]
+        import mapreduce_simple_go_spark._protobuf as P
+        flag_before = os.environ.get(P._VERSION_FLAG)
+        P._FALLBACK_DIRS = ({str(broken)!r},)
+        try:
+            P.ensure_protobuf()
+        except RuntimeError:
+            pass
+        assert sys.modules.get("google.hostpkg") is host_mod, (
+            "host-owned google.* module purged by the unwind"
+        )
+        assert os.environ.get(P._VERSION_FLAG) == flag_before, (
+            "version-flag env var not restored"
+        )
+        # nothing from the broken dir may linger in sys.modules
+        for m, obj in list(sys.modules.items()):
+            if m.startswith("google"):
+                f = getattr(obj, "__file__", "") or ""
+                assert not f.startswith({str(broken)!r}), m
+        print("OK")
+        """
+    )
+    assert out == "OK"
+
+
 def test_driver_window_structure():
     """Window policy invariants that hold every round: the head the driver
     checks is at most 50 names, every window name resolves to a registered
