@@ -1083,7 +1083,12 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         name = "tws_" + uuid.uuid4().hex[:8]
-        run_available_now(user_totals_tws(stream), name, "append")
+        # input_bytes=0 pins the memory sink: tws output is rollup-sized
+        # (one versioned row per user per batch, ~rows/60 of the input),
+        # not input-sized, so the r12 append-mode parquet gate — built for
+        # the sessionizer's input-sized emissions — must not charge this
+        # drain the parquet roundtrip.
+        run_available_now(user_totals_tws(stream), name, "append", input_bytes=0)
         out = spark.sql(
             f"""
             SELECT user_id, n_events, sum_event_ids FROM (

@@ -266,17 +266,20 @@ def run_available_now(
 ):
     """Drain a bounded stream into a queryable temp view named ``query_name``.
 
-    Append/update drains use the memory sink: their per-batch output is
-    incremental and small. COMPLETE mode is different — the memory sink
-    keeps the ENTIRE result table in DRIVER memory and rewrites it every
-    micro-batch, i.e. a driver-side collect in disguise; at the 100x
-    fixture the native-session-window drain's full result put an 8 GB
-    driver heap at its margin (observed OOM, r7). LARGE complete drains
-    therefore go through foreachBatch -> overwrite parquet (executor-side
-    write, the standard arbitrary-sink pattern for complete mode); the
-    final batch's table is read back, eagerly localCheckpointed (so the
-    scratch dir can be removed immediately), and registered under the
-    same view name — callers are agnostic to which sink ran.
+    Update drains use the memory sink (their per-batch output is
+    incremental and small). COMPLETE mode keeps the ENTIRE result table in
+    DRIVER memory and rewrites it every micro-batch — a driver-side
+    collect in disguise; at the 100x fixture the native-session-window
+    drain's full result put an 8 GB driver heap at its margin (observed
+    OOM, r7). APPEND mode accumulates every emitted row in driver memory
+    the same way, which is fine for rollup-sized outputs but fatal for
+    INPUT-SIZED ones — the r12 sf100 spot-check OOM'd a 32 GB heap on the
+    sessionizer's ~10^8-row append drain. LARGE complete AND append drains
+    therefore go through foreachBatch -> parquet (executor-side write,
+    overwrite-per-batch for complete, append-per-batch for append); the
+    table is read back, eagerly localCheckpointed (so the scratch dir can
+    be removed immediately), and registered under the same view name —
+    callers are agnostic to which sink ran.
 
     ``input_bytes`` (the staged source size, which callers know for free)
     gates the two complete-mode sinks: at or below
@@ -295,7 +298,7 @@ def run_available_now(
     value actually works, where the old ``tempfile.mkdtemp(dir=...)`` +
     ``os.listdir`` required a driver-local POSIX path).
     """
-    if output_mode == "complete" and (
+    if output_mode in ("complete", "append") and (
         input_bytes is None or input_bytes > _COMPLETE_MEMORY_MAX_BYTES
     ):
         from ..fsutil import delete as fs_delete
@@ -304,12 +307,21 @@ def run_available_now(
         spark = stream_df.sparkSession
         sink = mkscratch(spark, f"{query_name}_sink_")
         delete_in_finally = True
+        # complete: every batch REWRITES the full table (overwrite keeps
+        # only the final batch). append: each batch's emissions are final
+        # and disjoint, so batches APPEND — the union of files IS the
+        # drained stream. The r12 sf100 spot-check OOM'd a 32 GB driver
+        # heap on the sessionizer's APPEND drain (input-sized output
+        # through the memory sink — a driver collect in disguise, the
+        # same failure complete mode hit at the 100x fixture in r7);
+        # append now goes through the same gated executor-side sink.
+        batch_mode = "overwrite" if output_mode == "complete" else "append"
         try:
             q = (
                 stream_df.writeStream.foreachBatch(
-                    lambda df, _bid: df.write.mode("overwrite").parquet(sink)
+                    lambda df, _bid: df.write.mode(batch_mode).parquet(sink)
                 )
-                .outputMode("complete")
+                .outputMode(output_mode)
                 .trigger(availableNow=True)
                 .start()
             )

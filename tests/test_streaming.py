@@ -837,6 +837,40 @@ def test_complete_mode_sink_gate_parity(spark, events_src):
     assert results["memory"] == sorted_rows(events_hourly(spark, SF_DIR))
 
 
+def test_append_mode_sink_gate_parity(spark, events_src):
+    """r12: APPEND mode goes through the same size gate — the sf100
+    spot-check OOM'd a 32 GB driver heap on the sessionizer's input-sized
+    append drain through the memory sink. Each batch's append emissions
+    are final and disjoint, so the parquet sink appends per batch and the
+    union of files must equal the memory sink's table exactly."""
+    from unittest.mock import patch
+
+    from pyspark.sql.streaming import DataStreamWriter
+
+    results = {}
+    ran_foreachbatch = {}
+    orig = DataStreamWriter.foreachBatch
+
+    for label, input_bytes in [("memory", 0), ("parquet", None)]:
+        called = []
+
+        def spy(self, func, _called=called):
+            _called.append(True)
+            return orig(self, func)
+
+        stream = hourly_counts(stream_events(spark, events_src))
+        with patch.object(DataStreamWriter, "foreachBatch", spy):
+            run_available_now(stream, f"agate_{label}", "append", input_bytes)
+        results[label] = sorted_rows(spark.sql(f"SELECT * FROM agate_{label}"))
+        ran_foreachbatch[label] = bool(called)
+        spark.catalog.dropTempView(f"agate_{label}")
+
+    assert not ran_foreachbatch["memory"], "small input must use the memory sink"
+    assert ran_foreachbatch["parquet"], "unknown input size must use parquet"
+    assert results["memory"] == results["parquet"]
+    assert len(results["memory"]) > 0
+
+
 def test_foreachbatch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     """The bucketed upsert sink must leave bucket partitions whose keys a
     micro-batch does NOT touch byte-identical on disk (dynamic partition
