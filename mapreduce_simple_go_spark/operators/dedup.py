@@ -932,14 +932,34 @@ def connected_components(
         # r11 shape's three jobs (eager localCheckpoint + count + collect)
         # whose fixed overhead dominated dedup_clusters at bench SFs
         # (~1 s of the entry's 2.5 s was CC job overhead, r12 bisect).
-        # When the probe overflows, the collected prefix is discarded and
-        # the distributed tiers below pay one extra PARTIAL evaluation of
-        # the upstream pipeline (limit short-circuits the scan) — the
+        # initialNumPartitions must cover ALL partitions for the probe:
+        # CollectLimit's default incremental scheduling (1 partition,
+        # then 4x more per retry) RE-RUNS the expensive upstream pair
+        # pipeline's final stage on every retry — invisible at sf0.1,
+        # a 5x blowup on dedup_clusters at sf1 (16.9 s vs 3.4 prior,
+        # caught by this round's own sf1 bench trail). One job over all
+        # partitions evaluates the pipeline exactly once; the per-
+        # partition LocalLimit still caps driver transfer at
+        # (threshold+1) x n_partitions narrow rows for oversize graphs.
+        # When the probe overflows, the prefix is discarded and the
+        # distributed tiers below pay one extra evaluation — the
         # small-graph case is the overwhelmingly common one for near-dup
         # candidate graphs, which are far sparser than the corpus.
-        probe = edges.limit(driver_threshold + 1).collect()
+        spark = edges.sparkSession
+        prev_init = None
+        try:
+            prev_init = spark.conf.get("spark.sql.limit.initialNumPartitions")
+        except Exception:
+            prev_init = None
+        spark.conf.set("spark.sql.limit.initialNumPartitions", str(1 << 20))
+        try:
+            probe = edges.limit(driver_threshold + 1).collect()
+        finally:
+            if prev_init is None:
+                spark.conf.unset("spark.sql.limit.initialNumPartitions")
+            else:
+                spark.conf.set("spark.sql.limit.initialNumPartitions", prev_init)
         if len(probe) <= driver_threshold:
-            spark = edges.sparkSession
             labels = _union_find_labels((r.src, r.dst) for r in probe)
             return spark.createDataFrame(
                 sorted(labels.items()), schema="node long, label long"
