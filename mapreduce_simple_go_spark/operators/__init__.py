@@ -50,93 +50,106 @@ def _modules():
 # take a slot. Overflow from the staleness rotation goes to
 # _WINDOW_OVERFLOW (positions 51+, the head of the NEXT round's window).
 _WINDOW_PRIORITY = [
-    # --- round 12 window (r11 verdict #4): the full 48-entry r9-stale block
-    # (union over CORRECTNESS_r01..r11: staleness after r11 is
-    # {r11: 50, r10: 50, r9: 48}; after this round no entry's last driver
-    # verdict predates r10). 48 names + 2 slots for this round's
+    # --- round 13 window (r12 verdict #5): the full 48-entry r10-stale
+    # block (union over CORRECTNESS_r01..r12: staleness after r12 is
+    # {r12: 50, r11: 50, r10: 48}; after this round no entry's last
+    # driver verdict predates r11). 48 names + 2 slots for this round's
     # code-changed entries. Exactly 50.
-    "ann_ivf_topk_multiprobe",
-    "count_per_key",
-    "cube_order_stats",
-    "customer_balance_quartiles",
-    "customers_never_ordered",
-    "data_profile_orders",
-    "dedup_clusters",
-    "dedup_clusters_distributed",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_salted",
-    "distinct_parts_per_supplier",
-    "doc_chunks",
-    "embedding_near_dup",
-    "embedding_near_dup_ivf",
-    "embedding_norm_stats",
-    "grouping_sets_revenue",
-    "inverted_index",
-    "kv_shard_distribution",
-    "median_order_by_segment",
-    "multimodal_audio_stats",
-    "multimodal_audio_wav",
-    "parts_above_brand_avg",
-    "per_file_metrics",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_bracket_revenue",
-    "q1_pricing_summary",
-    "q22_global_sales_opportunity",
-    "q3_bucketed_ingest",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "revenue_by_month",
-    "rolling_7day_revenue",
-    "rollup_order_revenue",
-    "salted_segment_revenue",
-    "set_ops_customers",
-    "sketch_distinct_accuracy",
-    "sketch_percentile_accuracy",
-    "stream_user_totals_tws",
-    "top_customers_per_nation",
-    "training_corpus_pipeline",
-    # --- code changed this round (r12), taking the 2 remaining slots:
-    # q11_important_stock (plan change: cached per_part + scalar total —
-    # one lineitem scan instead of two) and ann_srp_topk (the sf100
-    # spot-check exposed its wide pair shuffle; pairs are now scored
-    # map-side and deduped NARROW — the riskiest semantic change of the
-    # round, so it takes a slot). The round's OTHER plan-changed entries
-    # (dedup_clusters / dedup_clusters_distributed / dedup_keep_best, via
-    # the connected-components driver-tier probe) are r9-stale and already
-    # hold slots above.
-    "q11_important_stock",
-    "ann_srp_topk",
+    "ann_cosine_topk",
+    "bm25_scores",
+    "chunk_dedup",
+    "curation_pipeline",
+    "decontaminate_overlap",
+    "dedup_incremental",
+    "dedup_minhash_incremental",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_split_assign",
+    "embedding_quantize_error",
+    "fuzzy_name_matches",
+    "inverted_index_positional",
+    "jsonl_roundtrip",
+    "kmeans_clusters",
+    "label_centroids",
+    "lang_id",
+    "length_bucket_batches",
+    "multimodal_dedup",
+    "multimodal_features",
+    "multimodal_frame_features",
+    "multimodal_resize",
+    "ngram_counts",
+    "orc_roundtrip",
+    "order_price_histogram",
+    "pack_sequences",
+    "pii_scrub",
+    "q12_ship_delay_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "quality_filter",
+    "quality_model_score",
+    "range_join_brackets",
+    "repetition_filter",
+    "sample_per_stratum",
+    "stratified_sample",
+    "supplier_balance_dist",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_stats",
+    "word_cooccurrence_pmi",
+    "word_pagerank",
+    # --- r13 NEW entries (no driver verdict exists — policy clause (a)
+    # outranks code-changed (b) for slots): the workload-constant ANN
+    # twins (r12 verdict #6). All 48 r10-stale names above MUST keep
+    # their slots (any one left out would trip round_gate's staleness
+    # floor at r13 close), leaving exactly 2; the third new entry heads
+    # _WINDOW_OVERFLOW.
+    "ann_cosine_topk_fixedq",
+    "ann_ivf_topk_fixedq",
 ]
 assert len(_WINDOW_PRIORITY) <= 50, len(_WINDOW_PRIORITY)
 
-# No staleness overflow this round: 48 (r9 block) + 2 (code-changed) is
-# exactly 50. The r13 window is the r10-stale block (the r10 window's 50
-# names minus any re-verified sooner).
-_WINDOW_OVERFLOW: list[str] = []
+# Overflow (positions 51+, the head of the r14 window): the third new
+# fixed-q entry, then this round's code-changed entries displaced under
+# the r9 capacity rule (see _WINDOW_EXEMPT_R13 for their evidence).
+_WINDOW_OVERFLOW: list[str] = [
+    "ann_srp_topk_fixedq",
+    "q11_important_stock",
+    "stream_user_totals_tws",
+]
 
-# r12 code-changed entries EXEMPTED from the window under the capacity
-# rule (each holds an r11 driver-green verdict; each must be hash-green in
-# the r12 four-SF self-sweeps at HEAD; every one is covered by
-# tests/test_oracle_parity.py at driver SF):
-#   - stream_hourly_counts, stream_enriched_counts, stream_sliding_counts
-#     (all r11 driver-green): width-only change — they now pass
-#     shuffle_partitions=8 through _drain_staged's EXISTING 32 MB
-#     input-size gate, the identical mechanism stream_session_window_native
-#     and kv_stream_final_state already exercised under driver verdicts;
-#     output semantics are width-independent (hash-pinned by the oracle
-#     parity suite at driver SF and the r12 self-sweeps).
-_WINDOW_EXEMPT_R12 = [
-    "stream_hourly_counts",
-    "stream_enriched_counts",
-    "stream_sliding_counts",
+# r13 code-changed entries EXEMPTED from the 50-slot window under the r9
+# capacity rule (each criterion checked: (1) green driver verdict within
+# the previous two rounds, (2) driver-SF behavior pinned by a dedicated
+# test at HEAD, (3) hash-green in the r13 four-SF self-sweeps):
+#   - q11_important_stock (r12 driver-green): per_part materialization
+#     moved from session-lifetime .cache() to eager localCheckpoint (r12
+#     ADVICE) — plan shape unchanged; output pinned by
+#     tests/test_oracle_parity.py at driver SF.
+#   - stream_user_totals_tws (r12 driver-green): its append drain now
+#     passes a scaled input_bytes estimate instead of literal 0; at
+#     driver SFs the estimate stays far below the 32 MB gate so the sink
+#     choice is unchanged by construction; parity pinned by
+#     tests/test_streaming.py (tws == batch GROUP BY) and the oracle
+#     parity suite.
+#   - ann_cosine_topk / ann_ivf_topk / ann_ivf_topk_multiprobe /
+#     ann_srp_topk (r10/r11/r12 driver-green; ann_cosine_topk is r10-stale
+#     and holds a window slot above anyway): query-set selection
+#     refactored behind _query_vectors/_q_where for the fixed-q twins —
+#     the default (fixed_q=None) path compiles to the IDENTICAL filter
+#     and the generated oracle SQL is pinned string-stable by
+#     tests/test_similarity.py::test_proportional_oracle_sql_unchanged.
+_WINDOW_EXEMPT_R13: list[str] = [
+    "q11_important_stock",
+    "stream_user_totals_tws",
+    "ann_ivf_topk",
+    "ann_ivf_topk_multiprobe",
+    "ann_srp_topk",
 ]
 
 
@@ -161,3 +174,50 @@ def all_oracles() -> dict[str, str]:
     for m in _modules():
         out.update(getattr(m, "ORACLES", {}))
     return _prioritize(out)
+
+
+def driver_verdict_staleness(artifact_dir: str) -> dict:
+    """Single source of truth for the window-staleness computation
+    (r12 verdict #8): scan ``CORRECTNESS_r*.json`` under ``artifact_dir``
+    and return::
+
+        {"newest": int,              # newest driver round seen
+         "last_green": {name: int},  # each name's newest green verdict
+         "stale": [name, ...],       # green before (newest - 2)
+         "never": [name, ...]}       # registry names with no verdict yet
+
+    A row counts as green when ``err`` is None and ``rows_match`` is
+    truthy — the same rule `scripts/round_gate.py` enforces and the same
+    union this module's _WINDOW_PRIORITY rotation is derived from; both
+    now call HERE so the gate can never check a different floor than the
+    rotation plans against.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    last: dict[str, int] = {}
+    newest = 0
+    for p in glob.glob(os.path.join(artifact_dir, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, v in d.items():
+            if isinstance(v, dict) and v.get("err") is None and v.get("rows_match"):
+                last[name] = max(last.get(name, 0), rnd)
+    names = set(all_queries())
+    floor = newest - 2
+    return {
+        "newest": newest,
+        "last_green": last,
+        "stale": sorted(n for n in names if n in last and last[n] < floor),
+        "never": sorted(n for n in names if n not in last),
+    }

@@ -924,6 +924,18 @@ def connected_components(
 
     All paths produce identical output (asserted in tests/test_sampling.py
     and tests/test_star_components.py).
+
+    NOT thread-safe (r12 ADVICE): the driver-tier probe saves/restores
+    ``spark.sql.limit.initialNumPartitions`` on the SESSION conf
+    non-atomically, so any concurrent query on the same SparkSession that
+    issues a ``limit`` during the probe inherits the 2^20 override (same
+    hazard class as ``_drain_staged``'s shuffle_partitions override,
+    documented there). Registry/bench harnesses run single-threaded; a
+    caller composing this from parallel code should bypass the probe
+    (``driver_threshold=0`` or ``algorithm="star"``), or run it through a
+    session clone — ``spark.newSession()`` gets its own SQLConf, but the
+    DataFrame must then be re-derived against that session for the
+    override to apply to its jobs.
     """
     edges = edges.select("src", "dst")
     if algorithm != "star" and driver_threshold > 0:

@@ -1036,7 +1036,8 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and leave the session default above it. Same probe family as the
         # complete-mode sink gate (fsutil, data files only).
         ev_src = os.path.join(sf_dir, "events.parquet")
-        if fsutil.du_suffix_bytes(spark, ev_src, ".parquet") < _TWS_SMALL_INPUT_BYTES:
+        ev_bytes = fsutil.du_suffix_bytes(spark, ev_src, ".parquet")
+        if ev_bytes < _TWS_SMALL_INPUT_BYTES:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
         ev = load_events(spark, sf_dir).select("ts", "user_id", "event_id")
         # Staging through fsutil (r9): scratch may be a shared URI
@@ -1083,12 +1084,22 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         name = "tws_" + uuid.uuid4().hex[:8]
-        # input_bytes=0 pins the memory sink: tws output is rollup-sized
-        # (one versioned row per user per batch, ~rows/60 of the input),
-        # not input-sized, so the r12 append-mode parquet gate — built for
-        # the sessionizer's input-sized emissions — must not charge this
-        # drain the parquet roundtrip.
-        run_available_now(user_totals_tws(stream), name, "append", input_bytes=0)
+        # The tws drain's output is one versioned row per user per batch
+        # — ~input_rows/60 per batch (fixture users average ~60 events),
+        # so it is input-PROPORTIONAL, just 60x narrower. A literal 0
+        # here would pin the memory sink unconditionally and reintroduce
+        # the driver-OOM class the r12 append gate closed (r12 ADVICE):
+        # at the 100 TB target, input/60 per batch is still terabytes.
+        # Charge the gate the scaled estimate instead: small fixtures
+        # (sf0.1 ~2 MB -> ~70 KB estimate) keep the cheap memory sink,
+        # while a large staged source trips the executor-side parquet
+        # path exactly as the sessionizer's input-sized drains do.
+        run_available_now(
+            user_totals_tws(stream),
+            name,
+            "append",
+            input_bytes=max(1, ev_bytes * _TWS_DROPS // 60),
+        )
         out = spark.sql(
             f"""
             SELECT user_id, n_events, sum_event_ids FROM (

@@ -1656,19 +1656,27 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Compute per_part ONCE: the naive form (the scalar-total subquery as
     # a broadcast cross join over a repeated subplan) ran the lineitem
     # join+agg TWICE — AQE's stage cache did not dedup the two exchanges
-    # (verified r12: 2 lineitem scans, 0 ReusedExchange). Caching per_part
-    # (one row per part — orders of magnitude smaller than lineitem) and
-    # folding the global total to a driver scalar makes the HAVING filter
-    # a literal comparison: one lineitem scan total, the scalar job reads
-    # ~#parts tiny rows, and the final job reads the InMemoryRelation.
-    # MEMORY_AND_DISK spills safely at cluster scale (#parts x 16 B); the
-    # harnesses clear the cache between queries like the other
-    # cache-using operators.
+    # (verified r12: 2 lineitem scans, 0 ReusedExchange). Materializing
+    # per_part (one row per part — orders of magnitude smaller than
+    # lineitem) and folding the global total to a driver scalar makes the
+    # HAVING filter a literal comparison: one lineitem scan total.
+    #
+    # EAGER-JOB + LIFECYCLE CONTRACT (r12 ADVICE): constructing this
+    # DataFrame runs TWO Spark jobs up front (the localCheckpoint
+    # materialization and the 1-row scalar collect) — callers composing
+    # q11 lazily should expect that. localCheckpoint instead of .cache()
+    # so nothing leaks for the session lifetime: checkpoint blocks are
+    # released by the ContextCleaner when the returned plan is GC'd,
+    # where the old session-lifetime InMemoryRelation accumulated one
+    # cached relation per call until clearCache. Tradeoff: localCheckpoint
+    # blocks are unreplicated, so an executor loss fails the query instead
+    # of recomputing — acceptable for a #parts x 16 B intermediate; on a
+    # dynamic-allocation cluster prefer reliable checkpointing.
     per_part = (
         li.join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(value).cast("double").alias("part_value"))
-    ).cache()
+    ).localCheckpoint(eager=True)
     total = per_part.agg(F.sum("part_value")).collect()[0][0] or 0.0
     return (
         per_part.filter(F.col("part_value") > F.lit(total) * 0.001)

@@ -38,6 +38,36 @@ TOP_K = 5
 QUERY_MOD = 100   # vec_id % QUERY_MOD == 0 -> query vector
 NPROBE = 3
 
+# Workload-constant query-set size for the *_fixedq ANN twins (r12 verdict
+# #6). The default QUERY_MOD contract sets q = n/100, so scored pairs grow
+# as n^2 across fixture decades and the measured exponents march toward
+# 2.0 BY CONSTRUCTION — the law can never vouch for the production claim
+# "q is a workload constant -> cost linear in corpus". The fixed arm holds
+# q at exactly FIXED_Q vectors at EVERY scale factor (vec_id < FIXED_Q;
+# vec_ids are dense 0..n-1 in all fixtures, and the smallest fixture has
+# 500 vectors, so the set is full-size everywhere). 200 = the sf0.1
+# proportional query count x10, small enough that the q x n pair work
+# stays measurable-not-dominant at sf10 (200 x 200k pairs).
+FIXED_Q = int(os.environ.get("SPARK_GRAFT_ANN_FIXED_Q", "200"))
+
+
+def _query_vectors(base: DataFrame, fixed_q: int | None = None) -> DataFrame:
+    """The ANN query subset of the base table — proportional contract
+    (``vec_id % QUERY_MOD == 0``, q = n/QUERY_MOD) by default, or the
+    workload-constant contract (``vec_id < fixed_q``) when ``fixed_q`` is
+    given. Twin of :func:`_q_where` (the oracle-side predicate) — keep in
+    lockstep."""
+    if fixed_q is not None:
+        return base.filter(F.col("vec_id") < fixed_q)
+    return base.filter(F.col("vec_id") % QUERY_MOD == 0)
+
+
+def _q_where(fixed_q: int | None = None) -> str:
+    """DuckDB WHERE predicate matching :func:`_query_vectors`."""
+    if fixed_q is not None:
+        return f"vec_id < {fixed_q}"
+    return f"vec_id % {QUERY_MOD} = 0"
+
 # Coarse quantizer sizing: a FIXED count k = min(K_CENTROIDS, ceil(sqrt(n))),
 # not a fraction of the base table. sqrt(n) is the classical IVF cell count
 # (cells and per-cell size both grow as sqrt(n)); the cap bounds the driver
@@ -164,7 +194,9 @@ def _rank_topk(scored: DataFrame) -> DataFrame:
     )
 
 
-def ann_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_cosine_topk_brute(
+    spark: SparkSession, sf_dir: str, fixed_q: int | None = None
+) -> DataFrame:
     """Exact top-k cosine neighbors, JOIN-materialized brute force.
 
     Query set is broadcast and every (query, candidate) pair becomes a ROW
@@ -178,7 +210,7 @@ def ann_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     form above the measured crossover instead.
     """
     base = _emb(spark, sf_dir)
-    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries = _query_vectors(base, fixed_q).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     pairs = base.join(broadcast(queries), F.col("vec_id") != F.col("query_id"))
@@ -379,7 +411,9 @@ def _blocked_candidates(
 MAX_BRUTE_TOPK_ROWS = int(os.environ.get("SPARK_GRAFT_MAX_BRUTE_TOPK_ROWS", "0"))
 
 
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_cosine_topk(
+    spark: SparkSession, sf_dir: str, fixed_q: int | None = None
+) -> DataFrame:
     """Registry entry: EXACT top-k cosine neighbors per query vector.
 
     Two-stage blocked-scan form (r10): stage 1 generates a provably
@@ -395,17 +429,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = _emb(spark, sf_dir)
     if MAX_BRUTE_TOPK_ROWS > 0 and base.count() <= MAX_BRUTE_TOPK_ROWS:
-        return ann_cosine_topk_brute(spark, sf_dir)
-    queries = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        return ann_cosine_topk_brute(spark, sf_dir, fixed_q)
+    queries = _query_vectors(base, fixed_q).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     return _ann_exact_blocked(spark, base, queries)
 
 
-ANN_TOPK_SQL = f"""
+def ann_topk_sql(q_where: str) -> str:
+    """DuckDB twin of :func:`ann_cosine_topk` for the given query-set
+    predicate (:func:`_q_where`)."""
+    return f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-  WHERE vec_id % {QUERY_MOD} = 0
+  WHERE {q_where}
 ),
 scored AS (
   SELECT q.query_id, e.vec_id, {duck_cosine('q.q_emb', 'e.embedding')} AS cosine
@@ -419,6 +456,9 @@ ranked AS (
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+ANN_TOPK_SQL = ann_topk_sql(_q_where())
 
 
 def _centroids(spark: SparkSession, base: DataFrame):
@@ -566,7 +606,12 @@ def _score_pairs_np(df: DataFrame, a_col: str, b_col: str, keep: list[str]) -> D
     return df.select(*keep, a_col, b_col).mapInPandas(go, schema=schema)
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = NPROBE,
+    fixed_q: int | None = None,
+) -> DataFrame:
     """IVF cell-probe approximate top-k.
 
     Coarse quantizer: a fixed-count deterministic sample of the base table
@@ -595,7 +640,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> Data
     ).select("vec_id", "cell", "embedding")
     probe_q = assign_cells(
         spark,
-        base.filter(F.col("vec_id") % QUERY_MOD == 0),
+        _query_vectors(base, fixed_q),
         nprobe=nprobe,
         bc=bc,
         keep_embedding=True,
@@ -639,8 +684,10 @@ CENTS_SQL = f"""
   )
 """
 
-def ann_ivf_sql(nprobe: int) -> str:
-    """DuckDB twin of :func:`ann_ivf_topk` at the given probe width."""
+def ann_ivf_sql(nprobe: int, q_where: str | None = None) -> str:
+    """DuckDB twin of :func:`ann_ivf_topk` at the given probe width and
+    query-set predicate (default: the proportional contract)."""
+    q_where = q_where or _q_where()
     return f"""
 WITH cents AS (
 {CENTS_SQL}
@@ -648,7 +695,7 @@ WITH cents AS (
 {duck_assign_ctes('embeddings')},
 q AS (
   SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-  WHERE vec_id % {QUERY_MOD} = 0
+  WHERE {q_where}
 ),
 probes AS (
   SELECT query_id, cell FROM (
@@ -1021,7 +1068,9 @@ def _srp_signatures(df: DataFrame) -> DataFrame:
     )
 
 
-def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_srp_topk(
+    spark: SparkSession, sf_dir: str, fixed_q: int | None = None
+) -> DataFrame:
     """LSH-bucketed ANN top-k via signed random projections.
 
     The second scale path next to IVF (ann_ivf_topk): 64 hyperplane sign
@@ -1048,9 +1097,7 @@ def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.posexplode(F.col("bands")).alias("band_idx", "band_val"),
     )
-    q_sigs = _srp_signatures(
-        base.filter(F.col("vec_id") % QUERY_MOD == 0)
-    ).select(
+    q_sigs = _srp_signatures(_query_vectors(base, fixed_q)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.posexplode(F.col("bands")).alias("q_band_idx", "q_band_val"),
@@ -1107,7 +1154,11 @@ def _duck_srp_bands() -> str:
     return ", ".join(band_exprs)
 
 
-ANN_SRP_SQL = f"""
+def ann_srp_sql(q_where: str | None = None) -> str:
+    """DuckDB twin of :func:`ann_srp_topk` for the given query-set
+    predicate (default: the proportional contract)."""
+    q_where = q_where or _q_where()
+    return f"""
 WITH sigs AS (
   SELECT vec_id, embedding, u.band_idx - 1 AS band_idx, bands[u.band_idx] AS band_val
   FROM (SELECT vec_id, embedding, [{_duck_srp_bands()}] AS bands FROM embeddings),
@@ -1116,7 +1167,7 @@ WITH sigs AS (
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, q.embedding AS q_emb, s.vec_id, s.embedding
   FROM sigs s
-  JOIN (SELECT * FROM sigs WHERE vec_id % {QUERY_MOD} = 0) q
+  JOIN (SELECT * FROM sigs WHERE {q_where}) q
     ON s.band_idx = q.band_idx AND s.band_val = q.band_val AND s.vec_id <> q.vec_id
 ),
 scored AS (
@@ -1131,8 +1182,50 @@ ranked AS (
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
+
+ANN_SRP_SQL = ann_srp_sql()
+
 QUERIES["ann_srp_topk"] = ann_srp_topk
 ORACLES["ann_srp_topk"] = ANN_SRP_SQL
+
+
+# --- Workload-constant ANN twins (r12 verdict #6) ---------------------------
+#
+# The three registry ANN entries define their query set as vec_id %
+# QUERY_MOD == 0, i.e. q = n/100: scored-pair work grows as n*q = n^2/100,
+# so their measured decade exponents rise toward 2.0 BY CONSTRUCTION and
+# the scaling law cannot vouch for the production contract ("the query
+# budget is a workload constant, so serving cost is linear in corpus
+# size"). These twins hold q at FIXED_Q vectors at every scale factor —
+# same plans, same oracles modulo the query predicate — giving the law a
+# fixed-q arm whose expected exponent is ~1.0 for the brute scan (q*n
+# pairs) and below it for IVF/SRP (per-query probe cost grows slower than
+# n). Vetted exponents live in scaling_law_vetted.json; SCALE.md "Fixed-q
+# ANN arm" discusses the numbers.
+
+
+def ann_cosine_topk_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_cosine_topk` with the workload-constant query set
+    (vec_id < FIXED_Q) — exact top-k, cost linear in corpus size."""
+    return ann_cosine_topk(spark, sf_dir, fixed_q=FIXED_Q)
+
+
+def ann_ivf_topk_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivf_topk` with the workload-constant query set."""
+    return ann_ivf_topk(spark, sf_dir, fixed_q=FIXED_Q)
+
+
+def ann_srp_topk_fixedq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_srp_topk` with the workload-constant query set."""
+    return ann_srp_topk(spark, sf_dir, fixed_q=FIXED_Q)
+
+
+QUERIES["ann_cosine_topk_fixedq"] = ann_cosine_topk_fixedq
+ORACLES["ann_cosine_topk_fixedq"] = ann_topk_sql(_q_where(FIXED_Q))
+QUERIES["ann_ivf_topk_fixedq"] = ann_ivf_topk_fixedq
+ORACLES["ann_ivf_topk_fixedq"] = ann_ivf_sql(NPROBE, _q_where(FIXED_Q))
+QUERIES["ann_srp_topk_fixedq"] = ann_srp_topk_fixedq
+ORACLES["ann_srp_topk_fixedq"] = ann_srp_sql(_q_where(FIXED_Q))
 
 
 # --- Distributed k-means over the embedding column (iterative algorithm) ----

@@ -14,6 +14,17 @@ explanation could still cover). One inflated reading is noise; two in a
 row against the same anchor is a regression that must be bisected or
 documented.
 
+"Documented" is machine-checked (r12 verdict #1: the r12 round closed
+with 8 flags neither bisected nor documented per entry — a red gate that
+ships silently defeats its purpose): scripts/bench_waivers.json holds
+per-entry waivers, each binding EXACTLY one (family, query, anchor_round)
+triple with a non-empty reason and evidence pointer (a commit, a SCALE.md
+section, or a recorded measurement). A waived flag prints but does not
+fail the gate. Binding to the anchor round makes waivers self-expiring:
+the moment a new artifact lands and the anchor slides, the waiver stops
+matching and the entry must either be clean against the new anchor or be
+re-justified — a waiver can never become a standing exemption.
+
 Usage:
     python scripts/bench_diff.py            # check every artifact family
     python scripts/bench_diff.py --at r10   # as-of a given round (CI replay)
@@ -95,6 +106,28 @@ def diff_family(name: str, arts: list[tuple[int, str]]) -> list[dict]:
     return flags
 
 
+def _load_waivers() -> dict[tuple[str, str, str], dict]:
+    """scripts/bench_waivers.json -> {(family, query, anchor_round): waiver}.
+
+    A malformed file or entry fails LOUDLY (the gate must not silently
+    accept a broken waiver as documentation); an absent file is simply no
+    waivers."""
+    path = os.path.join(REPO, "scripts", "bench_waivers.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        entries = json.load(f)
+    out: dict[tuple[str, str, str], dict] = {}
+    for e in entries:
+        for field in ("family", "query", "anchor_round", "reason", "evidence"):
+            if not isinstance(e.get(field), str) or not e[field].strip():
+                raise SystemExit(
+                    f"bench_waivers.json: entry {e!r} missing/empty {field!r}"
+                )
+        out[(e["family"], e["query"], e["anchor_round"])] = e
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -114,16 +147,31 @@ def main(argv: list[str] | None = None) -> int:
     for fam, arts in _families(at_round).items():
         all_flags.extend(diff_family(fam, arts))
 
-    if all_flags:
+    waivers = _load_waivers()
+    live, waived = [], []
+    for f in all_flags:
+        w = waivers.get((f["family"], f["query"], f["anchor_round"]))
+        (waived if w is not None else live).append((f, w))
+
+    for f, w in waived:
         print(
-            f"bench_diff: {len(all_flags)} second-consecutive >"
-            f"{THRESHOLD}x entr{'y' if len(all_flags) == 1 else 'ies'} — "
-            "bisect or document (SCALE.md) before the round closes:"
+            f"# waived: {f['family']}/{f['query']} vs {f['anchor_round']} "
+            f"(ratios {f['ratios']}) — {w['reason']} [{w['evidence']}]"
         )
-        for f in all_flags:
+    if live:
+        print(
+            f"bench_diff: {len(live)} second-consecutive >"
+            f"{THRESHOLD}x entr{'y' if len(live) == 1 else 'ies'} — "
+            "bisect or document (scripts/bench_waivers.json) before the "
+            "round closes:"
+        )
+        for f, _ in live:
             print("  " + json.dumps(f))
         return 1
-    print("bench_diff: clean — no second-consecutive regressions.")
+    print(
+        "bench_diff: clean — no unwaived second-consecutive regressions"
+        + (f" ({len(waived)} waived above)." if waived else ".")
+    )
     return 0
 
 

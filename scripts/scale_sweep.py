@@ -53,6 +53,12 @@ DEFAULT_QUERIES = [
     "training_corpus_pipeline",
     "ann_ivf_topk",
     "ann_srp_topk",
+    # workload-constant ANN arm (r12 verdict #6): q fixed across SFs, so
+    # these exponents measure the production contract (~linear) instead of
+    # the q = n/100 construction's sf^2 pair growth
+    "ann_cosine_topk_fixedq",
+    "ann_ivf_topk_fixedq",
+    "ann_srp_topk_fixedq",
     "embedding_near_dup_ivf",
     "kmeans_clusters",
     "kv_stream_final_state",

@@ -66,6 +66,64 @@ def test_needs_three_rounds(tmp_path):
     assert bench_diff.diff_family("BENCH", arts) == []
 
 
+def test_waiver_clears_matching_flag_only(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench_diff, "REPO", str(tmp_path))
+    (tmp_path / "scripts").mkdir()
+    _fake_family(tmp_path, {8: {"q": 1.0}, 9: {"q": 1.6}, 10: {"q": 1.6}})
+    # unwaived -> red
+    assert bench_diff.main([]) == 1
+    (tmp_path / "scripts" / "bench_waivers.json").write_text(
+        json.dumps(
+            [
+                {
+                    "family": "BENCH",
+                    "query": "q",
+                    "anchor_round": "r8",
+                    "reason": "idle-host remeasure at HEAD reads below anchor",
+                    "evidence": "SCALE.md r13 exoneration table",
+                }
+            ]
+        )
+    )
+    # waived -> green
+    assert bench_diff.main([]) == 0
+
+
+def test_waiver_expires_when_anchor_slides(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench_diff, "REPO", str(tmp_path))
+    (tmp_path / "scripts").mkdir()
+    (tmp_path / "scripts" / "bench_waivers.json").write_text(
+        json.dumps(
+            [
+                {
+                    "family": "BENCH",
+                    "query": "q",
+                    "anchor_round": "r8",
+                    "reason": "host-load noise",
+                    "evidence": "commit abc",
+                }
+            ]
+        )
+    )
+    # anchor is r9 here, not the waived r8 -> waiver does not match
+    _fake_family(
+        tmp_path, {9: {"q": 1.0}, 10: {"q": 1.6}, 11: {"q": 1.6}}
+    )
+    assert bench_diff.main([]) == 1
+
+
+def test_malformed_waiver_fails_loudly(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench_diff, "REPO", str(tmp_path))
+    (tmp_path / "scripts").mkdir()
+    (tmp_path / "scripts" / "bench_waivers.json").write_text(
+        json.dumps([{"family": "BENCH", "query": "q", "anchor_round": "r8",
+                     "reason": "  ", "evidence": "x"}])
+    )
+    _fake_family(tmp_path, {8: {"q": 1.0}, 9: {"q": 1.0}, 10: {"q": 1.0}})
+    with pytest.raises(SystemExit):
+        bench_diff.main([])
+
+
 def test_cli_exit_codes(tmp_path, monkeypatch):
     monkeypatch.setattr(bench_diff, "REPO", str(tmp_path))
     _fake_family(

@@ -548,3 +548,49 @@ def test_exact_blocked_topk_cross_block_exact_ties(spark):
     want = sorted(((-cos(qv, v), vid) for vid, v in M.items()))[:TOP_K]
     assert [r.vec_id for r in got] == [vid for _, vid in want]
     assert [r.rank for r in got] == list(range(1, TOP_K + 1))
+
+
+def test_proportional_oracle_sql_unchanged():
+    """The r13 fixed-q refactor (query-set selection behind
+    _query_vectors/_q_where) must leave the PROPORTIONAL entries' oracle
+    SQL byte-identical to the pre-refactor literals — this pins that the
+    default (fixed_q=None) path is the same query the r10-r12 driver
+    verdicts covered (window capacity-rule exemption evidence,
+    operators/__init__._WINDOW_EXEMPT_R13)."""
+    from mapreduce_simple_go_spark.operators.similarity import (
+        ANN_SRP_SQL,
+        ANN_TOPK_SQL,
+        FIXED_Q,
+        NPROBE,
+        _q_where,
+        ann_ivf_sql,
+        ann_srp_sql,
+        ann_topk_sql,
+    )
+
+    assert _q_where() == "vec_id % 100 = 0"
+    assert _q_where(FIXED_Q) == f"vec_id < {FIXED_Q}"
+    # default-arg builders == explicit proportional predicate == the
+    # literal the old f-string constants embedded
+    assert ANN_TOPK_SQL == ann_topk_sql("vec_id % 100 = 0")
+    assert ANN_SRP_SQL == ann_srp_sql("vec_id % 100 = 0")
+    assert ann_ivf_sql(NPROBE) == ann_ivf_sql(NPROBE, "vec_id % 100 = 0")
+    assert "vec_id % 100 = 0" in ANN_TOPK_SQL
+    assert f"vec_id < {FIXED_Q}" not in ANN_TOPK_SQL
+
+
+def test_fixedq_registry_wiring():
+    """The three fixed-q twins are registered with oracles whose query
+    predicate is the workload-constant one."""
+    from mapreduce_simple_go_spark.operators import all_oracles, all_queries
+    from mapreduce_simple_go_spark.operators.similarity import FIXED_Q
+
+    q, o = all_queries(), all_oracles()
+    for name in (
+        "ann_cosine_topk_fixedq",
+        "ann_ivf_topk_fixedq",
+        "ann_srp_topk_fixedq",
+    ):
+        assert name in q and name in o
+        assert f"vec_id < {FIXED_Q}" in o[name]
+        assert "% 100 = 0" not in o[name]
