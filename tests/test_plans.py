@@ -222,23 +222,28 @@ def test_q11_total_is_broadcast_single_row(spark):
     """q11's fraction-of-total HAVING must not recompute the per-part
     aggregate: r12 replaced the 1-row broadcast cross join (which ran the
     lineitem join+agg twice — AQE never deduped the exchanges) with a
-    cached per_part + driver-scalar total, so the returned plan reads the
-    InMemoryRelation and carries the threshold as a LITERAL — zero
-    lineitem rescans, no join of the aggregate against itself."""
+    materialized per_part + driver-scalar total, so the returned plan
+    reads the materialized intermediate and carries the threshold as a
+    LITERAL — zero lineitem rescans, no join of the aggregate against
+    itself. r13 (r12 ADVICE): the materialization moved from a
+    session-lifetime .cache() (leaked one InMemoryRelation per call) to
+    localCheckpoint, so the pin is now the checkpoint's RDD scan."""
     from mapreduce_simple_go_spark.operators.relational import q11_important_stock
 
     df = q11_important_stock(spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "InMemoryTableScan" in plan
+    # per_part enters as the localCheckpoint's materialized RDD, not a
+    # recomputed lineitem subtree (and not a leaked InMemoryRelation)
+    assert "ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the final job must not rescan lineitem (the cached per_part is its
-    # only lineitem-derived input; `part` is the one remaining file scan)
+    # the final job must not rescan lineitem (the checkpointed per_part is
+    # its only lineitem-derived input; `part` is the one remaining file scan)
     import re
 
-    scans = re.findall(r"Scan parquet[^\n]*", plan.split("InMemoryRelation")[0])
-    assert all("lineitem" not in s for s in scans), scans
-    spark.catalog.clearCache()
+    scans = re.findall(r"Scan parquet[^\n]*", plan)
+    assert scans and all("lineitem" not in s for s in scans), scans
 
 
 def test_q16_not_in_is_broadcast_anti_join(spark):
