@@ -145,12 +145,18 @@ def _drain_staged(
             # the executor-side parquet sink (r11: sf1 11.2 -> 9.6 s for
             # session_window_native; no slower at driver SFs now that
             # defer_cleanup removed the roundtrip's second checkpoint).
+            # skip_final_nodata_batch: every _drain_staged entry's final
+            # SELECT reads only data-batch emissions (complete/update
+            # snapshots; append entries are dropDuplicates / inner join /
+            # closed_by='gap' filters), so the trailing no-data batch is
+            # pure state-store overhead here — see run_available_now (r13).
             sink_cleanup = run_available_now(
                 build(stream),
                 name,
                 mode,
                 None if force_complete_parquet else input_bytes,
                 defer_cleanup=True,
+                skip_final_nodata_batch=True,
             )
         finally:
             if shuffle_partitions is not None:
@@ -1099,6 +1105,9 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             name,
             "append",
             input_bytes=max(1, ev_bytes * _TWS_DROPS // 60),
+            # the tws fold emits on data only (no watermark, no timers) —
+            # the trailing no-data batch is a pure RocksDB roundtrip (r13)
+            skip_final_nodata_batch=True,
         )
         out = spark.sql(
             f"""

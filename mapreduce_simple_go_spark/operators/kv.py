@@ -401,7 +401,12 @@ def kv_stream_final_state(
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
-            run_available_now(kv_append_state(stream), name, "update")
+            # update-mode snapshot fold with NoTimeout: nothing emits in a
+            # no-data batch, so skip it (see run_available_now, r13)
+            run_available_now(
+                kv_append_state(stream), name, "update",
+                skip_final_nodata_batch=True,
+            )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:

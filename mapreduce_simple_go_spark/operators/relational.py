@@ -172,8 +172,19 @@ def q3_bucketed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = uuid.uuid4().hex[:8]
     ot, lt = f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"
     try:
+        # Ingest only the columns the serving query reads (guide §2.3
+        # "project before the exchange" / §6 column pruning, r13): the
+        # bucketed write IS this operator's one exchange, and it was
+        # shuffling + writing all 9 orders / 16 lineitem columns to serve
+        # a query that reads 5 and 3. Projection cuts the ingest shuffle
+        # and parquet write to the serving width; the q3 result is
+        # column-pruned either way, so the hash is unchanged.
         (
             _t(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderdate", "o_orderpriority",
+            )
             .write.bucketBy(Q3_INGEST_BUCKETS, "o_orderkey")
             .sortBy("o_orderkey")
             .mode("overwrite")
@@ -181,6 +192,7 @@ def q3_bucketed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         (
             _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
             .write.bucketBy(Q3_INGEST_BUCKETS, "l_orderkey")
             .sortBy("l_orderkey")
             .mode("overwrite")
@@ -1430,11 +1442,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier was the ONLY late one. The literal query says EXISTS (another
     supplier's line) AND NOT EXISTS (another supplier's LATE line); lacking
     l_commitdate/l_receiptdate, "late" here is a ship delay over 90 days.
-    Instead of Q21's two correlated self-joins of lineitem, one per-order
-    aggregation computes (distinct suppliers, distinct late suppliers) and
-    the late lines join that — same semantics, one shuffle less, no
-    correlated-subquery re-scan; the per-order profile then joins back on
-    the already-partitioned order key. Top-20 via TakeOrderedAndProject.
+    Instead of Q21's two correlated self-joins of lineitem, ONE per-order
+    aggregation computes (distinct suppliers, distinct late suppliers,
+    max late supplier) — when n_late_supps == 1 that max IS the lone late
+    supplier, so the former second branch (a distinct over the late lines
+    joined back onto the profile: a second lineitem⋈orders evaluation plus
+    two more fact-wide Exchanges) collapses into the aggregate itself
+    (guide §2.4: remove shuffles outright / don't evaluate a fact subtree
+    twice; r13). The qualifying orders then aggregate by that supplier —
+    a #orders-sized shuffle, not a fact one. Top-20 via
+    TakeOrderedAndProject.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -1452,18 +1469,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
             "n_late_supps"
         ),
+        # when n_late_supps == 1 this is exactly the lone late supplier;
+        # rows where it isn't 1 are filtered out below, so the max is
+        # never observed ambiguous — proved equal to the old
+        # distinct-late-lines ⋈ profile formulation by the unchanged
+        # oracle hash
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     waiting = (
-        lo.filter(F.col("is_late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter(
-                (F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1)
-            ),
-            "l_orderkey",
-        )
-        .groupBy("l_suppkey")
+        per_order.filter((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+        .groupBy(F.col("late_supp").alias("l_suppkey"))
         .agg(F.count("*").alias("numwait"))
     )
     return (

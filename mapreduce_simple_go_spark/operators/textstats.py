@@ -734,19 +734,32 @@ def _bigram_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def word_pagerank(
     spark: SparkSession, sf_dir: str, iters: int = PAGERANK_ITERS
 ) -> DataFrame:
-    """Integer PageRank (damping 0.85) over the bigram graph, ``iters`` steps."""
-    edges = _bigram_edges(spark, sf_dir).cache()
-    nodes = (
-        edges.select(F.col("a").alias("word"))
-        .unionByName(edges.select(F.col("b").alias("word")))
-        .distinct()
+    """Integer PageRank (damping 0.85) over the bigram graph, ``iters`` steps.
+
+    r13 (guide §2.4/§5): the out-weight is a property of the EDGE LIST, not
+    of the iteration — join it onto the edges ONCE before the loop and
+    cache that (w/ow ride the same row), instead of re-running the
+    groupBy("a") + second join inside every iteration; ``nodes`` is
+    likewise reused iters+1 times and caches. Per iteration that removes
+    one aggregation and one join (plan: 2 fewer Exchanges per step); the
+    contribution arithmetic is unchanged so ranks are bit-identical.
+    """
+    edges = _bigram_edges(spark, sf_dir)
+    ew = (
+        edges.join(edges.groupBy("a").agg(F.sum("w").alias("ow")), "a")
+        .select("a", "b", "w", "ow")
+        .cache()
     )
-    outw = edges.groupBy("a").agg(F.sum("w").alias("ow"))
+    nodes = (
+        ew.select(F.col("a").alias("word"))
+        .unionByName(ew.select(F.col("b").alias("word")))
+        .distinct()
+        .cache()
+    )
     ranks = nodes.select("word", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
     for _ in range(iters):
         contribs = (
-            edges.join(ranks, edges["a"] == ranks["word"])
-            .join(outw, "a")
+            ew.join(ranks, ew["a"] == ranks["word"])
             .select(
                 F.col("b").alias("word"),
                 F.expr("(rank * w) div ow").alias("c"),

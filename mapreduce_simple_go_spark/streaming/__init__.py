@@ -263,6 +263,7 @@ def run_available_now(
     output_mode: str,
     input_bytes: int | None = None,
     defer_cleanup: bool = False,
+    skip_final_nodata_batch: bool = False,
 ):
     """Drain a bounded stream into a queryable temp view named ``query_name``.
 
@@ -297,7 +298,60 @@ def run_available_now(
     existence probe, and cleanup go through the Hadoop FS API so a URI
     value actually works, where the old ``tempfile.mkdtemp(dir=...)`` +
     ``os.listdir`` required a driver-local POSIX path).
+
+    r13 (guide §2.4's "remove work outright", applied to micro-batches):
+    ``skip_final_nodata_batch=True`` disables ``noDataMicroBatches`` for
+    the drain's duration. An availableNow drain otherwise appends one
+    FINAL no-data micro-batch after the data batches — a full state-store
+    open/commit roundtrip across every stateful partition, and in
+    complete mode a full rewrite of the result table — whose only
+    observable effects are (a) rewriting complete-mode output that is
+    already final, and (b) emitting rows the final watermark advance
+    closes (append-mode windows still open after the last data batch;
+    event-time TIMEOUT sweeps). The flag is OPT-IN per call because (b)
+    is real semantics for a watermarked append-mode aggregation (and the
+    tests pin it): only callers whose final SELECT provably never reads a
+    no-data-batch emission may pass it — complete/update snapshots,
+    append entries with no timeout path (dropDuplicatesWithinWatermark,
+    stream-stream inner join, NoTimeout folds), and append entries that
+    filter to data-batch-only rows (``closed_by = 'gap'``). Every
+    registry drain qualifies and passes True (the saving is one
+    state-store roundtrip per partition per drain, scale-independent; in
+    complete mode a full result rewrite). SPARK_GRAFT_STREAM_NODATA=1
+    overrides the skip globally (deployment escape hatch + the r13 A/B
+    measurement knob). The session value is restored after the drain.
+
+    NOT thread-safe (same caveat as _drain_staged's shuffle_partitions
+    override): the conf save/set/restore mutates SESSION state around the
+    drain.
     """
+    if skip_final_nodata_batch and os.environ.get(
+        "SPARK_GRAFT_STREAM_NODATA", "0"
+    ) == "0":
+        spark_ = stream_df.sparkSession
+        _NODATA_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+        prev_nodata = spark_.conf.get(_NODATA_KEY)
+        spark_.conf.set(_NODATA_KEY, "false")
+        try:
+            return _run_available_now_inner(
+                stream_df, query_name, output_mode, input_bytes, defer_cleanup
+            )
+        finally:
+            spark_.conf.set(_NODATA_KEY, prev_nodata)
+    return _run_available_now_inner(
+        stream_df, query_name, output_mode, input_bytes, defer_cleanup
+    )
+
+
+def _run_available_now_inner(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    input_bytes: int | None = None,
+    defer_cleanup: bool = False,
+):
+    """Body of :func:`run_available_now` (wrapped for the no-data-batch
+    conf scope — see its docstring)."""
     if output_mode in ("complete", "append") and (
         input_bytes is None or input_bytes > _COMPLETE_MEMORY_MAX_BYTES
     ):

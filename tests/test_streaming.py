@@ -871,6 +871,56 @@ def test_append_mode_sink_gate_parity(spark, events_src):
     assert len(results["memory"]) > 0
 
 
+def test_skip_final_nodata_batch_parity_and_fewer_batches(spark, events_src):
+    """r13: registry drains opt in to skipping the trailing no-data
+    micro-batch. For a drain whose emissions are all data-batch emissions
+    (dropDuplicatesWithinWatermark passes rows through the batch they
+    arrive; the no-data batch only evicts state) the skip must be (a)
+    result-identical and (b) actually run fewer micro-batches — the
+    skipped batch is a full state-store open/commit roundtrip, which is
+    what the optimization removes. (Probe record, sf0.01: batchIds
+    [0, 1] -> [0] on this exact drain; complete-mode aggregations never
+    ran a no-data batch in the first place, so the flag is a no-op
+    there.)"""
+    import uuid
+    from unittest.mock import patch
+
+    from pyspark.sql.streaming import StreamingQuery
+
+    from mapreduce_simple_go_spark.streaming import dedup_events_stream
+
+    progress: dict[bool, int] = {}
+    results = {}
+    orig_await = StreamingQuery.awaitTermination
+
+    for skip in (False, True):
+        name = f"nodata_{skip}_{uuid.uuid4().hex[:6]}"
+        seen = {}
+
+        def spy(self, *a, _seen=seen, **kw):
+            out = orig_await(self, *a, **kw)
+            _seen["batches"] = len(
+                [p for p in self.recentProgress if p is not None]
+            )
+            return out
+
+        stream = dedup_events_stream(
+            stream_events(spark, events_src)
+        ).select("event_type", "event_id")
+        with patch.object(StreamingQuery, "awaitTermination", spy):
+            run_available_now(
+                stream, name, "append", input_bytes=0,
+                skip_final_nodata_batch=skip,
+            )
+        results[skip] = sorted_rows(spark.sql(f"SELECT * FROM {name}"))
+        progress[skip] = seen["batches"]
+        spark.catalog.dropTempView(name)
+
+    assert results[True] == results[False]
+    assert len(results[True]) > 0
+    assert progress[True] < progress[False], progress
+
+
 def test_foreachbatch_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     """The bucketed upsert sink must leave bucket partitions whose keys a
     micro-batch does NOT touch byte-identical on disk (dynamic partition
