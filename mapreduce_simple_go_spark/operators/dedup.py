@@ -64,26 +64,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — the unit set for Jaccard/MinHash.
 
-    posexplode + window lead instead of a per-document higher-order
-    transform: the lead() formulation runs entirely in whole-stage codegen
-    (the HOF array version evaluated interpreted and dominated MinHash
-    runtime). One shuffle on doc_id; dedup rides the same partitioning.
+    posexplode keeps the token ARRAY in scope, so the n-gram is built by
+    direct index (element_at(t, pos+k)) in the SAME codegen stage as the
+    explode — no shuffle at all until the distinct. r13 (guide §2.4): the
+    previous formulation shuffled every raw token row through a
+    doc_id-window (partitionBy doc_id ORDER BY pos + lead()) just to see
+    the next n-1 tokens, paying a full-corpus Exchange + per-doc sort
+    before the distinct; building the shingle from the array removes that
+    wide shuffle outright (measured through the full LSH pipeline at
+    sf0.1: 1.78 -> 1.20 s, identical pairs). The per-document
+    higher-order-function form (array_distinct over word_shingles) stays
+    rejected — HOFs evaluate interpreted and measured 4.24 s on the same
+    A/B. The distinct's Exchange now carries (doc_id, shingle) with
+    map-side partial dedup (duplicates of a doc's shingle are all in its
+    scan partition), and downstream groupBy(doc_id) consumers pay one
+    narrow Exchange of partially-aggregated rows instead of riding the
+    window's partitioning — strictly fewer full-corpus shuffle bytes.
     """
-    from pyspark.sql import Window
-
     toks = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).select("doc_id", "t", F.posexplode("t").alias("pos", "tok"))
+    parts = [F.expr(f"element_at(t, pos + {k + 1})") for k in range(n)]
     return (
-        toks.select(
-            "doc_id",
-            F.concat_ws(" ", *parts).alias("shingle"),
-            F.lead("tok", n - 1).over(w).alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .select("doc_id", "shingle")
+        toks.filter(F.expr(f"pos + {n} <= size(t)"))
+        .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
         .distinct()
     )
 
