@@ -61,7 +61,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-def doc_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+def doc_shingles(
+    docs: DataFrame, n: int = SHINGLE_N, cluster_by_doc: bool = False
+) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — the unit set for Jaccard/MinHash.
 
     posexplode keeps the token ARRAY in scope, so the n-gram is built by
@@ -80,16 +82,35 @@ def doc_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     scan partition), and downstream groupBy(doc_id) consumers pay one
     narrow Exchange of partially-aggregated rows instead of riding the
     window's partitioning — strictly fewer full-corpus shuffle bytes.
+
+    ``cluster_by_doc=True`` dedups via groupBy(doc_id) + collect_set +
+    explode instead of the flat distinct: one Exchange keyed on doc_id
+    whose OUTPUT rows stay doc-clustered. Same pairs (set semantics ==
+    distinct; downstream consumers are aggregations/joins, so intra-set
+    order is immaterial; per-doc set memory is bounded by one document's
+    shingle count — the same bound the old per-doc window sort had).
+    dedup_ngram_jaccard passes this: it CACHES the pair set and
+    self-joins it, and the flat distinct's hash-scattered row order cost
+    its self-join ~0.4 s in exchange compression/sort locality
+    (interleaved A/B: flat 2.84 s vs clustered 2.42 s, vs 4.42 s for the
+    r12 window form); for minhash/decontamination consumers the flat
+    distinct measured faster (1.32 vs 1.44 s through LSH), so it stays
+    the default.
     """
     toks = docs.select(
         "doc_id", tokens(F.col("text")).alias("t")
     ).select("doc_id", "t", F.posexplode("t").alias("pos", "tok"))
     parts = [F.expr(f"element_at(t, pos + {k + 1})") for k in range(n)]
-    return (
-        toks.filter(F.expr(f"pos + {n} <= size(t)"))
-        .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
-        .distinct()
+    sh = toks.filter(F.expr(f"pos + {n} <= size(t)")).select(
+        "doc_id", F.concat_ws(" ", *parts).alias("shingle")
     )
+    if cluster_by_doc:
+        return (
+            sh.groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("ss"))
+            .select("doc_id", F.explode("ss").alias("shingle"))
+        )
+    return sh.distinct()
 
 
 # 1. Exact dedup ---------------------------------------------------------------
@@ -540,7 +561,10 @@ def dedup_ngram_jaccard(
     over full shingle sets (no fan-out protection — only safe on corpora
     known to lack boilerplate shingles).
     """
-    sh = doc_shingles(_docs(spark, sf_dir)).cache()
+    # cluster_by_doc: this operator caches the pair set and self-joins it;
+    # doc-clustered cache rows keep the self-join's exchange compressible
+    # (see doc_shingles — measured −0.4 s here vs the flat distinct)
+    sh = doc_shingles(_docs(spark, sf_dir), cluster_by_doc=True).cache()
     if df_ceiling is None:
         sh_capped = sh
     else:
