@@ -533,37 +533,30 @@ def _docs_bytes(spark: SparkSession, sf_dir: str) -> int:
     return du_bytes(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
-def dedup_ngram_jaccard(
-    spark: SparkSession,
-    sf_dir: str,
-    threshold: float = 0.8,
-    df_ceiling: int = NGRAM_DF_CEILING,
+def _ngram_capped_byshingle(
+    spark: SparkSession, sf_dir: str, df_ceiling: int | None
 ) -> DataFrame:
-    """Exact word-shingle Jaccard similarity join (>= threshold).
+    """LAZY per-shingle sorted doc lists over the df-capped shingle set:
+    (shingle, ds) where ds is the ascending doc_id list of every document
+    containing the shingle, restricted to shingles in at most
+    ``df_ceiling`` documents.
 
-    Candidate generation by shared-shingle equi-join (a pair with Jaccard
-    >= t shares at least one shingle). The whole computation — candidate
-    join, intersection count, AND set sizes — runs over the shingle set
-    restricted to shingles in at most ``df_ceiling`` documents: the
-    self-defending cap on the quadratic hot-shingle fan-out, mirroring the
-    PMI df ceiling (textstats.word_cooccurrence_pmi). The emitted jaccard
-    is therefore the EXACT Jaccard of the sub-ceiling shingle sets — the
-    better near-dup metric anyway, since corpus-hot shingles are boilerplate
-    (license headers, chrome) that inflates similarity without evidencing
-    duplication. On any corpus where no shingle crosses the ceiling (the
-    fixtures) this equals plain Jaccard bit-for-bit. Keeping sizes on the
-    same capped universe keeps the plan ONE pair self-join + one aggregate —
-    restricting only candidates and re-joining full sets re-explodes as
-    |candidates| x |doc shingles| (measured 7x slower at sf0.1).
+    Exposed un-materialized so tests (and plan dumps) can pin the inner
+    plan shape — dedup_ngram_jaccard localCheckpoints the result, which
+    hides this subtree behind an ExistingRDD scan in the returned frame.
 
-    The output column is named ``capped_jaccard`` so the df-capped contract
-    is visible at call sites; pass ``df_ceiling=None`` for plain Jaccard
-    over full shingle sets (no fan-out protection — only safe on corpora
-    known to lack boilerplate shingles).
+    The collect_list buffer is bounded by ``df_ceiling`` doc_ids per group
+    (the groups ARE the capped document lists), so the non-spillable
+    object-aggregation hazard the flat cluster_by_doc dedup carries does
+    not apply here; with ``df_ceiling=None`` the buffer is unbounded (the
+    documented uncapped contract).
+
+    Returns the lazy frame with the still-cached raw shingle set attached
+    as ``_graft_sh_cached`` — the caller must unpersist it once the lists
+    are materialized.
     """
-    # cluster_by_doc: this operator caches the pair set and self-joins it;
-    # doc-clustered cache rows keep the self-join's exchange compressible
-    # (see doc_shingles — measured −0.4 s here vs the flat distinct)
+    # cluster_by_doc: doc-clustered dedup measured fastest here for the
+    # cache this operator immediately re-aggregates (see doc_shingles)
     sh = doc_shingles(_docs(spark, sf_dir), cluster_by_doc=True).cache()
     if df_ceiling is None:
         sh_capped = sh
@@ -590,9 +583,9 @@ def dedup_ngram_jaccard(
         #     bench to protect the 100x case.
         #   - large corpus -> merge hint: measured crossover is BELOW the
         #     10x fixture already (6 MB docs: SMJ 7.3 s vs broadcast
-        #     8.4 s), and SMJ's shingle Exchange on sh is exactly the
-        #     partitioning the a x b pair self-join needs, so AQE reuses
-        #     one shuffle for both; at 100x broadcast OOMs outright.
+        #     8.4 s), and the SMJ's shingle partitioning is exactly what
+        #     the byshingle aggregation below needs, so it adds no new
+        #     Exchange; at 100x broadcast OOMs outright.
         # Threshold 2 MB: above the whole driver-SF family (<=0.6 MB),
         # ~3x below the measured merge-wins point, ~30x below the OOM point.
         if _docs_bytes(spark, sf_dir) <= NGRAM_BROADCAST_MAX_DOC_BYTES:
@@ -600,13 +593,89 @@ def dedup_ngram_jaccard(
         else:
             rare_side = rare.hint("merge")
         sh_capped = sh.join(rare_side, "shingle")
-    sizes = sh_capped.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh_capped.alias("a"), sh_capped.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
+    byshingle = sh_capped.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
+    byshingle._graft_sh_cached = sh
+    return byshingle
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    df_ceiling: int = NGRAM_DF_CEILING,
+) -> DataFrame:
+    """Exact word-shingle Jaccard similarity join (>= threshold).
+
+    Candidate generation by shared shingle (a pair with Jaccard >= t
+    shares at least one shingle), enumerated per shingle from the
+    materialized doc lists — see _ngram_capped_byshingle. The whole
+    computation — candidate pairs, intersection count, AND set sizes —
+    runs over the shingle set restricted to shingles in at most
+    ``df_ceiling`` documents: the self-defending cap on the quadratic
+    hot-shingle fan-out, mirroring the PMI df ceiling
+    (textstats.word_cooccurrence_pmi). The emitted jaccard is therefore
+    the EXACT Jaccard of the sub-ceiling shingle sets — the better
+    near-dup metric anyway, since corpus-hot shingles are boilerplate
+    (license headers, chrome) that inflates similarity without evidencing
+    duplication. On any corpus where no shingle crosses the ceiling (the
+    fixtures) this equals plain Jaccard bit-for-bit. Keeping sizes on the
+    same capped universe keeps both branches reading ONE materialized
+    relation — restricting only candidates and re-joining full sets
+    re-explodes as |candidates| x |doc shingles| (measured 7x slower at
+    sf0.1).
+
+    The output column is named ``capped_jaccard`` so the df-capped contract
+    is visible at call sites; pass ``df_ceiling=None`` for plain Jaccard
+    over full shingle sets (no fan-out protection — only safe on corpora
+    known to lack boilerplate shingles).
+    """
+    # Materialize the per-shingle doc lists ONCE (r14, guide §2.4/§5):
+    # Spark performs no common-subexpression elimination across a plan
+    # tree, so when both the candidate branch and the sizes branch hung
+    # off sh_capped, the rare aggregation AND the capped join executed
+    # TWICE per query (phase-profiled at sf1: the sizes branch alone
+    # re-paid ~5 s of a ~11 s query). byshingle is eagerly
+    # localCheckpointed, so both branches scan the materialized lists,
+    # and the cached raw shingle set can be unpersisted immediately —
+    # no session-lifetime cache leak (r13 VERDICT #6). Unreplicated
+    # checkpoint blocks trade executor-loss recompute for plan
+    # truncation, the same tradeoff q11 documents.
+    byshingle = _ngram_capped_byshingle(spark, sf_dir, df_ceiling)
+    sh_cached = getattr(byshingle, "_graft_sh_cached", None)
+    byshingle = byshingle.localCheckpoint(eager=True)
+    if sh_cached is not None:
+        sh_cached.unpersist()
+    # per-doc capped set sizes, from the SAME materialized lists (df=1
+    # singleton shingles still count toward n — only the pair branch
+    # filters them out)
+    sizes = (
+        byshingle.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    # Candidate pairs by per-shingle enumeration, not a self-join (r14,
+    # guide §2.4): emit each ordered pair once per shared shingle via
+    # posexplode + slice — the classic MapReduce pairs pattern. vs the
+    # r7-r13 a⋈b shingle self-join this removes one whole side of the
+    # join (its exchange read + sort/hash build); the only wide operation
+    # left before the (doc_a, doc_b) count is the one groupBy(shingle)
+    # inside byshingle. Generate(posexplode/explode) and slice() are
+    # codegen expressions — no interpreted HOF on the hot path.
+    # sort_array gives ascending doc lists, so doc_a < doc_b falls out of
+    # enumerating only the tail beyond each element's own position.
+    pairs = (
+        byshingle.filter(F.size("ds") >= 2)
+        .select(F.posexplode("ds").alias("i", "doc_a"), "ds")
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias(
+                "doc_b"
+            ),
+        )
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))

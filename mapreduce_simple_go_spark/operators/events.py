@@ -61,6 +61,7 @@ def _drain_staged(
     shuffle_partitions: int | None = None,
     single_file: bool = True,
     force_complete_parquet: bool = False,
+    skip_final_nodata_batch: bool = True,
 ) -> DataFrame:
     """Shared stage-and-drain ritual for the streaming registry entries.
 
@@ -145,18 +146,23 @@ def _drain_staged(
             # the executor-side parquet sink (r11: sf1 11.2 -> 9.6 s for
             # session_window_native; no slower at driver SFs now that
             # defer_cleanup removed the roundtrip's second checkpoint).
-            # skip_final_nodata_batch: every _drain_staged entry's final
-            # SELECT reads only data-batch emissions (complete/update
-            # snapshots; append entries are dropDuplicates / inner join /
-            # closed_by='gap' filters), so the trailing no-data batch is
-            # pure state-store overhead here — see run_available_now (r13).
+            # skip_final_nodata_batch (parameter, default True — r13
+            # ADVICE made the invariant visible at the call site): every
+            # CURRENT _drain_staged entry's final SELECT reads only
+            # data-batch emissions (complete/update snapshots; append
+            # entries are dropDuplicates / inner join / closed_by='gap'
+            # filters), so the trailing no-data batch is pure state-store
+            # overhead here — see run_available_now (r13). A future
+            # append-mode entry whose semantics NEED the final watermark
+            # advance (event-time timeout sweeps, watermark-close window
+            # emissions) must pass skip_final_nodata_batch=False.
             sink_cleanup = run_available_now(
                 build(stream),
                 name,
                 mode,
                 None if force_complete_parquet else input_bytes,
                 defer_cleanup=True,
-                skip_final_nodata_batch=True,
+                skip_final_nodata_batch=skip_final_nodata_batch,
             )
         finally:
             if shuffle_partitions is not None:
@@ -1105,9 +1111,14 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             name,
             "append",
             input_bytes=max(1, ev_bytes * _TWS_DROPS // 60),
-            # the tws fold emits on data only (no watermark, no timers) —
-            # the trailing no-data batch is a pure RocksDB roundtrip (r13)
-            skip_final_nodata_batch=True,
+            # NO skip_final_nodata_batch here (r14, VERDICT r13 #1 bisect):
+            # this fold has no watermark and no timers, so the availableNow
+            # drain never runs a trailing no-data batch AT ALL — probed at
+            # sf0.1: batchIds [(0, 50000), (1, 50000)] identical with the
+            # flag on and off, and a 5-pass interleaved A/B read the flag
+            # at min 6.29 vs 6.27 s (pure noise). The r13 driver's −16%
+            # on this entry coincided with the flag but was not caused by
+            # it; reverting removes the confound at zero cost.
         )
         out = spark.sql(
             f"""

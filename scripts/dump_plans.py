@@ -1,4 +1,5 @@
-"""Dump .explain('formatted') for named registry queries to plans/r13/.
+"""Dump .explain('formatted') for named registry queries to
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default r14).
 
 Usage: python scripts/dump_plans.py <suffix> name1 name2 ...
 Writes plans/r13/<name>_<suffix>.txt for each query. Streaming entries
@@ -15,10 +16,18 @@ import sys
 
 from contextlib import redirect_stdout
 
-from mapreduce_simple_go_spark.operators import all_queries
-from mapreduce_simple_go_spark.session import get_spark
+# same bootstrap as plan_audit.py (r13 ADVICE): make the package importable
+# regardless of the invoking cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+from mapreduce_simple_go_spark.operators import all_queries  # noqa: E402
+from mapreduce_simple_go_spark.session import get_spark  # noqa: E402
+
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
+)
 
 
 def main() -> None:

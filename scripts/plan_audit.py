@@ -75,7 +75,15 @@ def main() -> None:
                 for m in MARKERS
             }
             rec["counts"] = {k: v for k, v in rec["counts"].items() if v}
-            rec["eager"] = bool(EAGER_SCAN.search(body)) and "Exchange" not in body
+            # eager-scan presence and Exchange count recorded SEPARATELY
+            # (r13 ADVICE): conjoining them tagged any entry whose returned
+            # plan scans a materialized intermediate but still contains an
+            # Exchange as eager=false, understating how many plans hide the
+            # real computation. "eager" keeps its old meaning (pure scan of
+            # a materialized result) for existing consumers.
+            rec["eager_scan"] = bool(EAGER_SCAN.search(body))
+            rec["exchange_count"] = rec["counts"].get("Exchange", 0)
+            rec["eager"] = rec["eager_scan"] and rec["exchange_count"] == 0
             pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
             nontrivial = [p for p in pushed if p != "PushedFilters: []"]
             rec["pushed_filters"] = nontrivial[:3]

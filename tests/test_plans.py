@@ -133,36 +133,66 @@ def test_sessionization_single_shuffle_reuses_window_sort(spark):
 
 
 def test_ngram_jaccard_pair_join_input_is_df_capped(spark):
-    """The quadratic shared-shingle join must consume the df-ceiling-capped
-    shingle set: the ceiling filter appears in the plan, and no plain
-    (uncapped) self-join shape remains upstream of candidate generation."""
-    from mapreduce_simple_go_spark.operators.dedup import (
-        NGRAM_DF_CEILING,
-        dedup_ngram_jaccard,
-    )
+    """Candidate generation must consume the df-ceiling-capped shingle
+    set: the ceiling filter appears in the inner (pre-checkpoint) plan —
+    the returned frame scans the materialized byshingle lists, so the cap
+    is pinned on the lazy helper (r14) — and no cartesian/NLJ shape exists
+    in either plan."""
+    import mapreduce_simple_go_spark.operators.dedup as D
 
-    plan = formatted_plan(dedup_ngram_jaccard(spark, SF_DIR))
-    assert f"<= {NGRAM_DF_CEILING}" in plan, "df ceiling missing from plan"
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    inner = formatted_plan(
+        D._ngram_capped_byshingle(spark, SF_DIR, D.NGRAM_DF_CEILING)
+    )
+    assert f"<= {D.NGRAM_DF_CEILING}" in inner, "df ceiling missing from plan"
+    assert "BroadcastNestedLoopJoin" not in inner
+    assert "CartesianProduct" not in inner
+    outer = formatted_plan(D.dedup_ngram_jaccard(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in outer
+    assert "CartesianProduct" not in outer
+    spark.catalog.clearCache()
 
 
 def test_ngram_jaccard_join_strategy_gate(spark, monkeypatch):
     """The rare-shingle join strategy follows the measured size gate: a
     small corpus (driver SFs, under the byte threshold) broadcasts the
-    rare set — no SortMergeJoin anywhere in the plan; a large corpus
+    rare set — no SortMergeJoin in the inner plan; a large corpus
     (threshold forced to 0) pins the merge hint — SMJ present, whose
-    shingle Exchange the pair self-join reuses (AQE runtime dedup,
-    pinned by the r7 executed-plan test discipline)."""
+    shingle partitioning the byshingle aggregation reuses (r14: pinned on
+    the lazy pre-checkpoint helper, since the registry function now
+    returns a scan of the materialized lists)."""
     import mapreduce_simple_go_spark.operators.dedup as D
 
-    small = formatted_plan(D.dedup_ngram_jaccard(spark, SF_DIR))
+    small = formatted_plan(
+        D._ngram_capped_byshingle(spark, SF_DIR, D.NGRAM_DF_CEILING)
+    )
     assert "SortMergeJoin" not in small
     assert "BroadcastHashJoin" in small
 
     monkeypatch.setattr(D, "NGRAM_BROADCAST_MAX_DOC_BYTES", 0)
-    large = formatted_plan(D.dedup_ngram_jaccard(spark, SF_DIR))
+    large = formatted_plan(
+        D._ngram_capped_byshingle(spark, SF_DIR, D.NGRAM_DF_CEILING)
+    )
     assert "SortMergeJoin" in large
+    spark.catalog.clearCache()
+
+
+def test_ngram_jaccard_enumerates_pairs_from_materialized_lists(spark):
+    """r14 rewrite pins: (a) the returned frame reads the ONE materialized
+    byshingle relation (ExistingRDD scan — both the sizes branch and the
+    pair branch hang off it, so the rare agg + capped join run once per
+    query, not twice); (b) candidate pairs come from Generate
+    (posexplode/explode) enumeration, not a shingle self-join; (c) the
+    raw shingle cache is unpersisted before the function returns — no
+    session-lifetime cache leak."""
+    import mapreduce_simple_go_spark.operators.dedup as D
+
+    spark.catalog.clearCache()
+    df = D.dedup_ngram_jaccard(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert count_operator(df, "Generate") >= 2
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "dedup_ngram_jaccard left a cached relation behind"
 
 
 def test_minhash_lsh_one_agg_one_selfjoin(spark):
