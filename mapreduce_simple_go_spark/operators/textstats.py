@@ -737,24 +737,35 @@ def word_pagerank(
     """Integer PageRank (damping 0.85) over the bigram graph, ``iters`` steps.
 
     r13 (guide §2.4/§5): the out-weight is a property of the EDGE LIST, not
-    of the iteration — join it onto the edges ONCE before the loop and
-    cache that (w/ow ride the same row), instead of re-running the
-    groupBy("a") + second join inside every iteration; ``nodes`` is
-    likewise reused iters+1 times and caches. Per iteration that removes
-    one aggregation and one join (plan: 2 fewer Exchanges per step); the
-    contribution arithmetic is unchanged so ranks are bit-identical.
+    of the iteration — join it onto the edges ONCE before the loop
+    (w/ow ride the same row), instead of re-running the groupBy("a") +
+    second join inside every iteration; ``nodes`` is likewise reused
+    iters+1 times. Per iteration that removes one aggregation and one
+    join (plan: 2 fewer Exchanges per step); the contribution arithmetic
+    is unchanged so ranks are bit-identical.
+
+    r14 (guide §5, r13 VERDICT #6): both reused relations materialize via
+    ``localCheckpoint(eager=True)`` instead of ``.cache()`` — the caches
+    were never unpersisted (a leaked InMemoryRelation per call for any
+    library caller; the exact class q11 fixed in r12), and the columnar
+    cache's encode/decode per reference costs more than checkpoint
+    blocks here anyway: interleaved A/B min/median 2.38/2.90 →
+    1.35/1.72 s at sf0.1, 3.28/3.35 → 1.85/2.09 s at sf1, ranks
+    bit-identical. Blocks are freed by the ContextCleaner when the
+    returned frame is dropped; unreplicated-block executor-loss
+    tradeoff as documented on q11.
     """
     edges = _bigram_edges(spark, sf_dir)
     ew = (
         edges.join(edges.groupBy("a").agg(F.sum("w").alias("ow")), "a")
         .select("a", "b", "w", "ow")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         ew.select(F.col("a").alias("word"))
         .unionByName(ew.select(F.col("b").alias("word")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.select("word", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
     for _ in range(iters):

@@ -380,6 +380,22 @@ def test_pagerank_iteration_joins_have_partial_aggregation(spark):
     assert "CartesianProduct" not in formatted_plan(df)
 
 
+def test_pagerank_and_simhash_leave_no_cached_relation(spark):
+    """r14 cache-hygiene pins (r13 VERDICT #6): the reused intermediates
+    (pagerank's ew/nodes, simhash's signature set) materialize via
+    localCheckpoint / are unpersisted before return — a registry call must
+    not leave a session-lifetime InMemoryRelation behind."""
+    from mapreduce_simple_go_spark.operators.dedup import dedup_simhash
+    from mapreduce_simple_go_spark.operators.textstats import word_pagerank
+
+    spark.catalog.clearCache()
+    word_pagerank(spark, SF_DIR).collect()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "word_pagerank left a cached relation behind"
+    dedup_simhash(spark, SF_DIR).collect()
+    assert cm.isEmpty(), "dedup_simhash left a cached relation behind"
+
+
 def test_inverted_index_capped_bounded_state_two_shuffles(spark):
     """The capped index's scale contract: per-group aggregation state is
     bounded by the cap (rank-conditional collect_list, not an unbounded
