@@ -396,6 +396,21 @@ def test_pagerank_and_simhash_leave_no_cached_relation(spark):
     assert cm.isEmpty(), "dedup_simhash left a cached relation behind"
 
 
+def test_doc_fingerprint_zero_shuffle_single_scan(spark):
+    """r14 rewrite pin: every doc_fingerprint output is a per-document
+    property, so the plan must contain NO Exchange and exactly one
+    documents scan (the old explode+groupBy+join form paid an Exchange
+    and scanned the corpus twice)."""
+    from mapreduce_simple_go_spark.operators.textstats import doc_fingerprint
+
+    df = doc_fingerprint(spark, SF_DIR)
+    assert count_operator(df, "Exchange") == 0
+    # count scans in the numbered operator tree only (the formatted
+    # details section repeats each scan's header once)
+    tree = formatted_plan(df).split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1
+
+
 def test_inverted_index_capped_bounded_state_two_shuffles(spark):
     """The capped index's scale contract: per-group aggregation state is
     bounded by the cap (rank-conditional collect_list, not an unbounded
