@@ -72,8 +72,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     All ratios are double divisions of integer counts computed identically
     in both engines, so the score is bit-reproducible.
     """
-    d = token_stats(spark, sf_dir).join(
-        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
+    # ONE scan, zero joins (r14, guide §2.4): the old form joined
+    # token_stats back onto documents just to re-attach `text` — a
+    # doc_id-keyed self-join of two scans of the SAME table. Every
+    # signal is a per-row property; compute them in one projection.
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", r"[^\p{L}]", "")).alias("n_letters"),
+        F.size(tokens(F.col("text"))).alias("n_word_tokens"),
     )
     toks = tokens(F.col("text"))
     alpha_ratio = F.col("n_letters") / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
@@ -538,6 +546,16 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted HOF). Both branches end keyed on doc_id, so the final
     join co-partitions; nothing is collected. All ratios are binary64
     divisions of exact integer counts — bit-identical cross-engine.
+
+    r14 note (guide §1 — measured, rejected): a zero-shuffle per-row
+    rewrite (sort each doc's token/bigram array, one aggregate() fold
+    computing max-run = top count and run count = distinct count) was
+    built, EQ-verified and A/B'd: sf0.1 0.66/0.72 -> 0.87/0.98 min/median
+    (+30%, the interpreted per-token struct fold costs more than the two
+    cheap exchanges), sf1 ~tie (1.33/1.70 -> 1.31/1.59). Reverted; the
+    fold-form only wins where the removed wide ops are expensive relative
+    to per-element lambda evaluation (cf. doc_fingerprint, which also
+    dropped a join + second corpus scan and DID win).
     """
     from pyspark.sql import Window
 
