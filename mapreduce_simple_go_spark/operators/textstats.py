@@ -478,24 +478,25 @@ def ngram_counts(spark: SparkSession, sf_dir: str, n: int = 2, k: int = NGRAM_TO
     """Top-k corpus n-grams by OCCURRENCE count (language-model-style counts).
 
     Companion to word_cooccurrence_pmi (frequency, not association; sliding
-    window, not whole-doc events). posexplode + window lead keeps shingling
-    in whole-stage codegen (the per-document HOF transform runs interpreted
-    — measured on the MinHash pipeline); one partial-aggregated shuffle on
-    the n-gram; top-k via TakeOrderedAndProject, never a global window.
+    window, not whole-doc events). posexplode keeps the token array in
+    scope, so the n-gram is built by direct index (element_at(t, pos+k))
+    in the SAME codegen stage as the explode (r14 — the r13 doc_shingles
+    rewrite transplanted: the old window-lead form shuffled every raw
+    token row through a doc_id Exchange + per-doc Sort just to read the
+    next n−1 tokens; the per-document HOF transform stays rejected —
+    interpreted, measured on the MinHash pipeline); one partial-aggregated
+    shuffle on the n-gram; top-k via TakeOrderedAndProject, never a
+    global window.
     """
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    grams = (
-        toks.select(
-            F.concat_ws(" ", *parts).alias("ngram"),
-            F.lead("tok", n - 1).over(w).alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .select("ngram")
+    toks = d.select(tokens(F.col("text")).alias("t")).select(
+        "t", F.posexplode("t").alias("pos", "tok")
+    )
+    parts = [F.expr(f"element_at(t, pos + {k + 1})") for k in range(n)]
+    grams = toks.filter(F.expr(f"pos + {n} <= size(t)")).select(
+        F.concat_ws(" ", *parts).alias("ngram")
     )
     top = (
         grams.groupBy("ngram")
@@ -541,11 +542,19 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verdict actually splits).
 
     Plan shape: one posexplode, counts per (doc, gram) partially
-    aggregated before the doc_id rollup — the bigram branch reuses
-    ngram_counts' window-lead shingling (whole-stage codegen, no
-    interpreted HOF). Both branches end keyed on doc_id, so the final
-    join co-partitions; nothing is collected. All ratios are binary64
-    divisions of exact integer counts — bit-identical cross-engine.
+    aggregated before the doc_id rollup — the bigram branch keeps the
+    window-lead shingling ON PURPOSE (r14, measured): every consumer
+    downstream of the window is keyed on doc_id, so the window's one
+    hash(doc_id) Exchange satisfies the ClusteredDistribution of the
+    (doc_id, bigram) count, the per-doc rollup AND the final join —
+    it replaces exchanges instead of adding one. The element_at
+    transplant that wins in ngram_counts/bigram_lm (where the gram
+    feeds a GLOBAL aggregate and the doc_id exchange is pure waste)
+    A/B'd SLOWER here: sf0.1 0.80/0.87 -> 0.98/1.06 min/med, sf1
+    1.83/1.91 -> 1.93/2.11. Both branches end keyed on doc_id, so the
+    final join co-partitions; nothing is collected. All ratios are
+    binary64 divisions of exact integer counts — bit-identical
+    cross-engine.
 
     r14 note (guide §1 — measured, rejected): a zero-shuffle per-row
     rewrite (sort each doc's token/bigram array, one aggregate() fold
@@ -1143,20 +1152,15 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     — too big to ASSUME broadcastable, so this uses a plain shuffle join on
     w1; both sides are already partial-aggregated, so the join input is
     counts, never the raw stream. Top-k via TakeOrderedAndProject.
+    Bigrams by direct index over the in-scope token array (r14 — no
+    window Exchange+Sort; see ngram_counts).
     """
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    toks = d.select(tokens(F.col("text")).alias("t")).select(
+        "t", F.posexplode("t").alias("pos", "w1")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = (
-        toks.select(
-            F.col("tok").alias("w1"),
-            F.lead("tok", 1).over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
+    pairs = toks.filter(F.expr("pos + 2 <= size(t)")).select(
+        "w1", F.expr("element_at(t, pos + 2)").alias("w2")
     )
     pair_cnt = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
     ctx_cnt = pair_cnt.groupBy("w1").agg(
@@ -1340,23 +1344,20 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the stream joins counts, counts never join the stream twice), then a
     per-doc rollup riding doc_id. V and the reference corpus are
     vocabulary-bounded, not corpus-bounded. Bigrams unseen even at the
-    context level use c(w1.) = 0 — the formula stays total.
+    context level use c(w1.) = 0 — the formula stays total. Bigrams by
+    direct index over the in-scope token array (r14 — no window
+    Exchange+Sort per half-corpus; see ngram_counts).
     """
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     is_ref = F.col("doc_id") % 2 == 0
 
     def bigrams(docs):
-        toks = docs.select(
-            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        toks = docs.select("doc_id", tokens(F.col("text")).alias("t")).select(
+            "doc_id", "t", F.posexplode("t").alias("pos", "w1")
         )
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        return toks.select(
-            "doc_id",
-            F.col("tok").alias("w1"),
-            F.lead("tok", 1).over(w).alias("w2"),
-        ).filter(F.col("w2").isNotNull())
+        return toks.filter(F.expr("pos + 2 <= size(t)")).select(
+            "doc_id", "w1", F.expr("element_at(t, pos + 2)").alias("w2")
+        )
 
     ref_bi = bigrams(d.filter(is_ref))
     pair_cnt = ref_bi.groupBy("w1", "w2").agg(F.count("*").alias("pc"))
