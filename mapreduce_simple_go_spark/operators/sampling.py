@@ -239,24 +239,42 @@ ORACLES = {
 }
 
 
-def _split_col():
-    h = hash48(F.md5(F.col("text"))) % 100
+def _split_col(digest=None):
+    # The split hashes md5(text) — exactly the exact-dedup digest, so a
+    # caller that already carries the digest passes it instead of paying
+    # a second md5 over the full text (and instead of needing text at all).
+    h = hash48(F.md5(F.col("text")) if digest is None else digest) % 100
     return F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
 
 
 def _curated_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-passing docs reduced to one representative per exact-duplicate
     group (min doc_id per md5(text) — the dedup_exact retention rule).
-    Returns (doc_id, lang, source, text)."""
+    Returns (doc_id, lang, source, digest).
+
+    r14 (guide §2.3 — shuffle fewer bytes): neither consumer reads text;
+    the split hash downstream is a function of the digest itself. So the
+    dedup exchange carries (digest, doc_id, lang, source) — never the
+    document body — and the min-doc_id retention is a partially
+    aggregated min_by (doc_id is unique, so the survivor row == the old
+    window rn=1 survivor, lang/source riding along from the same row)
+    instead of a full per-group window sort. min_by, not min(struct):
+    Min over a struct falls back to SortAggregate (struct is not a
+    mutable hash-agg buffer type) and re-buys the sort the window paid;
+    min_by is a TypedImperativeAggregate → ObjectHashAggregate, sort-free
+    (measured — the min(struct) form was a wash).
+    """
     q = quality_filter(spark, sf_dir).filter(F.col("passes")).select("doc_id")
     d = _docs(spark, sf_dir).join(q, "doc_id")
-    w = Window.partitionBy("digest").orderBy("doc_id")
-    return (
-        d.withColumn("digest", F.md5("text"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "text")
+    rep = (
+        d.select(
+            F.md5("text").alias("digest"),
+            F.struct("doc_id", "lang", "source").alias("r"),
+        )
+        .groupBy("digest")
+        .agg(F.min_by("r", F.col("r.doc_id")).alias("r"))
     )
+    return rep.select("r.doc_id", "r.lang", "r.source", "digest")
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +294,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks the corpus BEFORE the dedup shuffle pays for it.
     """
     return _curated_reps(spark, sf_dir).select(
-        "doc_id", "lang", "source", _split_col().alias("split")
+        "doc_id", "lang", "source", _split_col(F.col("digest")).alias("split")
     )
 
 
@@ -348,13 +366,24 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reps = _curated_reps(spark, sf_dir)
     clusters = dedup_clusters(spark, sf_dir)
-    w = Window.partitionBy("grp").orderBy("doc_id")
+    # r14: min_by per retention group replaces the rn=1 window — partial
+    # ObjectHashAggregate instead of Exchange + per-group Sort (doc_id is
+    # unique, so the survivor is identical; its own digest rides along
+    # for the split hash). min_by, not min(struct) — see _curated_reps.
     return (
         reps.join(clusters, "doc_id", "left")
-        .withColumn("grp", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
-        .withColumn("nrn", F.row_number().over(w))
-        .filter(F.col("nrn") == 1)
-        .select("doc_id", "lang", "source", _split_col().alias("split"))
+        .groupBy(F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("grp"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "source", "digest"), F.col("doc_id")
+            ).alias("r")
+        )
+        .select(
+            "r.doc_id",
+            "r.lang",
+            "r.source",
+            _split_col(F.col("r.digest")).alias("split"),
+        )
     )
 
 

@@ -661,3 +661,26 @@ def test_ann_blocked_topk_plan_shape(spark):
     assert count_operator(df, "SortMergeJoin") == 0
     assert count_operator(df, "CartesianProduct") == 0
     assert count_operator(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_curation_dedup_is_windowless_and_text_never_shuffles(spark):
+    """r14 rewrite pin: the exact-dedup retention (min doc_id per
+    md5(text) digest) must run as a partially-aggregated min_by — no
+    Window node anywhere in curation_pipeline or training_corpus_pipeline
+    — and the dedup Exchange must carry only the digest + aggregation
+    buffer, never the document text (guide §2.3: the old window form
+    shuffled the full corpus body just to pick a survivor)."""
+    from mapreduce_simple_go_spark.operators.sampling import (
+        curation_pipeline,
+        training_corpus_pipeline,
+    )
+
+    for fn in (curation_pipeline, training_corpus_pipeline):
+        df = fn(spark, SF_DIR)
+        assert count_operator(df, "Window") == 0
+        plan = formatted_plan(df)
+        # every Exchange's Input row must be text-free (text exists only
+        # below the map-side digest/tokenize projections)
+        for block in plan.split("\n\n"):
+            if block.startswith("(") and ") Exchange" in block.split("\n", 1)[0]:
+                assert "text#" not in block, block
