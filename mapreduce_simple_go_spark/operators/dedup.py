@@ -88,7 +88,11 @@ def doc_shingles(
     whose OUTPUT rows stay doc-clustered. Same pairs (set semantics ==
     distinct; downstream consumers are aggregations/joins, so intra-set
     order is immaterial; per-doc set memory is bounded by one document's
-    shingle count — the same bound the old per-doc window sort had).
+    shingle count — but note this bound lives in a collect_set aggregation
+    buffer that CANNOT spill mid-group, unlike the old per-doc window
+    sort which could: one pathological giant document risks executor OOM
+    here. Acceptable for the capped-pipeline caller below; an untrusted
+    corpus should pre-truncate documents upstream — r13 ADVICE).
     dedup_ngram_jaccard passes this: it CACHES the pair set and
     self-joins it, and the flat distinct's hash-scattered row order cost
     its self-join ~0.4 s in exchange compression/sort locality

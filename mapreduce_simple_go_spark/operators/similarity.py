@@ -1264,19 +1264,36 @@ def _kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: integer squared-euclidean argmin."""
-    pairs = vecs.crossJoin(broadcast(cents))
-    dist = F.aggregate(
-        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    """Nearest-centroid assignment: integer squared-euclidean argmin.
+
+    r14: the K-row centroid side is aggregated into ONE broadcast row
+    holding array<struct<cid, cq>> and the argmin runs per base row via
+    array_min over (dist, cid) structs — the tie-break identical to the
+    old window's orderBy(dist, cid). The previous shape exploded every
+    vector into K pair rows and paid hashpartition(vec_id) Exchange +
+    Sort over K·n rows (both 64-long arrays in flight) just to pick the
+    per-vector minimum (sf10 A/B: 7.39/7.42 → 6.10/6.43 s min/med). A
+    flat 64-term codegen distance chain was measured SLOWER (12.3 s at
+    sf10: inside the transform lambda everything is interpreted anyway,
+    and the fold evaluates fewer nodes than the unrolled chain).
+    """
+    c1 = cents.agg(F.collect_list(F.struct("cid", "cq")).alias("cents"))
+
+    def dist_of(c):
+        return F.aggregate(
+            F.zip_with("q", c["cq"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(dist_of(c).alias("dist"), c["cid"].alias("cid")),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
-    return (
-        pairs.withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "cid")
+    return vecs.crossJoin(broadcast(c1)).select(
+        "vec_id", "q", best["cid"].alias("cid")
     )
 
 

@@ -326,11 +326,12 @@ def test_pack_sequences_windows_are_bucketed(spark):
 
 
 def test_kmeans_assign_broadcasts_centroids_no_cartesian(spark):
-    """Each k-means iteration must broadcast the K-row centroid side
-    (BroadcastNestedLoopJoin over a broadcast exchange is the crossJoin
-    physical form) and never shuffle the base table for the assignment;
-    the only shuffles are the centroid-update (cid, dim) aggregation and
-    the per-vector argmin window."""
+    """Each k-means iteration must broadcast the centroid side — since
+    r14 as ONE row holding array<struct<cid, cq>>, with the per-vector
+    argmin computed row-local via array_min — and never shuffle the base
+    table for the assignment; the only shuffle left is the
+    centroid-update (cid, dim) aggregation. A Window or per-vector
+    Exchange appearing here means the K·n pair-row explosion came back."""
     from mapreduce_simple_go_spark.operators.similarity import kmeans_clusters
 
     df = kmeans_clusters(spark, SF_DIR)
@@ -340,6 +341,11 @@ def test_kmeans_assign_broadcasts_centroids_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # the centroid update aggregates map-side before its (cid, pos) shuffle
     assert has_partial_aggregation(df)
+    # r14 pin: no per-vector argmin window — the only Window left is the
+    # seed's K-row ranking; a hashpartition on vec_id means the K·n
+    # pair-row explosion came back
+    assert count_operator(df, "Window") == 1
+    assert "hashpartitioning(vec_id" not in plan
 
 
 def test_pii_scrub_is_map_only_zero_shuffle(spark):
